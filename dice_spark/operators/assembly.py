@@ -1,0 +1,98 @@
+"""Per-conversation turn assembly: transcripts -> overlapped window chunks.
+
+Mirrors the reference's incremental window processor
+(AbstractIncrementalAnalyzer.processWindow, /root/reference/dice/src/main/kotlin/
+com/embabel/dice/incremental/AbstractIncrementalAnalyzer.kt:109-162) with
+windowSize=20 / overlapSize=2 defaults (ChunkHistoryModels.kt:97-112), and the
+turn renderer MessageFormatter.format (ConversationSource.kt:48-62): each turn
+renders "role: text" and turns join with "\\n\\n" — per-turn text equality is
+preserved exactly and is the tested row invariant.
+
+Scale notes: the whole stage is one shuffle on conv_id (the window explode is
+map-side); turn order inside a window comes from sort_array on (turn_idx), never
+from partition order. At 10^12 turns the conv_id hash distributes uniformly and
+no conversation's window exceeds window_size rows, so per-group state is O(20).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WINDOW_SIZE = 20
+OVERLAP_SIZE = 2
+TRIGGER_INTERVAL = 4
+
+
+def assemble_windows(
+    transcripts: DataFrame,
+    window_size: int = WINDOW_SIZE,
+    overlap: int = OVERLAP_SIZE,
+) -> DataFrame:
+    """Group turns into overlapped windows and render chunk text.
+
+    Window w covers turn indexes [w*stride, w*stride + window_size) with
+    stride = window_size - overlap, so a turn belongs to floor(t/stride) and,
+    when t % stride < overlap, also to the previous window — the batch
+    equivalent of the reference's "start = last - overlap" incremental slide.
+    """
+    stride = window_size - overlap
+    t = F.col("turn_idx")
+    w0 = F.floor(t / stride).cast("int")
+    in_prev = (t % stride < overlap) & (w0 > 0)
+    exploded = transcripts.withColumn(
+        "window_id",
+        F.explode(
+            F.when(in_prev, F.array(w0 - 1, w0)).otherwise(F.array(w0))
+        ),
+    )
+    turns = F.array_sort(
+        F.collect_list(F.struct("turn_idx", "role", "text"))
+    )
+    grouped = (
+        exploded.groupBy("conv_id", "window_id")
+        .agg(
+            turns.alias("turns"),
+            F.min("turn_idx").alias("window_start"),
+            (F.max("turn_idx") + 1).cast("int").alias("window_end"),
+            F.count(F.lit(1)).cast("int").alias("n_turns"),
+        )
+    )
+    rendered = F.concat_ws(
+        "\n\n",
+        F.transform(F.col("turns"), lambda s: F.concat(s["role"], F.lit(": "), s["text"])),
+    )
+    return grouped.select(
+        F.concat_ws(
+            ":",
+            F.col("conv_id"),
+            F.col("window_start").cast("string"),
+            F.col("window_end").cast("string"),
+        ).alias("chunk_id"),
+        "conv_id",
+        "window_start",
+        "window_end",
+        rendered.alias("text"),
+        F.sha2(rendered, 256).alias("content_hash"),
+        "n_turns",
+    )
+
+
+def split_turns(chunks: DataFrame) -> DataFrame:
+    """Inverse of the renderer: chunk text -> one row per rendered turn line.
+
+    Used by extraction (each line is "role: text") and by the per-turn
+    text-equality invariant test.
+    """
+    return chunks.select(
+        "chunk_id",
+        "conv_id",
+        "window_start",
+        F.posexplode(F.split(F.col("text"), "\n\n")).alias("line_idx", "line"),
+    ).select(
+        "chunk_id",
+        "conv_id",
+        (F.col("window_start") + F.col("line_idx")).cast("int").alias("turn_idx"),
+        F.regexp_extract("line", r"^(\w+): (.*)$", 1).alias("role"),
+        F.regexp_extract("line", r"^(\w+): (.*)$", 2).alias("text"),
+    )

@@ -1,0 +1,199 @@
+"""Canonicalization: cross-chunk entity identity without a serial resolver.
+
+The reference guarantees later chunks see earlier chunks' entities by sharing
+one mutable InMemoryEntityResolver on a single thread
+(PropositionPipeline.kt:167-176; InMemoryEntityResolver.kt:50-171 — exact ->
+normalized -> partial -> fuzzy vs remembered entities, label-compatibility
+gated). The set-oriented replacement (SURVEY.md §2.5): generate match edges
+between distinct mention keys with the same tier rules, then run
+connected-components so every chunk in the batch agrees on identity; the
+observable outcome (same resolved groups) matches the reference, iteration
+order does not exist.
+
+Survivor/canonical-name selection per component ports
+DefaultCanonicalNameSelector.score (common/support/DefaultCanonicalNameSelector.kt:26-67)
+with deterministic tie-breaks.
+
+Scale notes: nodes are DISTINCT (type, norm_key) — cardinality is entity
+vocabulary, orders of magnitude below mention count. Fuzzy pair generation is
+blocked (prefix+band by default, MinHash-LSH shingle blocking as the scale
+path) — never a cross join. CC is min-id propagation over the blocked edge
+list with localCheckpoint every few rounds; name-similarity clusters have tiny
+diameter so it converges in a handful of iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dice_spark.functions.normalize import norm_key, normalize_name
+from dice_spark.functions.textfns import canonical_name_score, mint_entity_id
+from dice_spark.operators.linking import (
+    MAX_DISTANCE_RATIO,
+    MIN_FUZZY_LENGTH,
+    MIN_PART_LENGTH,
+)
+
+
+def mention_nodes(mentions: DataFrame, context_id: str, span_col: str = "span", type_col: str = "entity_type") -> DataFrame:
+    """Distinct (type, norm_key) nodes with aggregated surface forms.
+
+    node_id is content-derived (deterministic across reruns and parallelism
+    levels — SURVEY.md §2.5 "new-entity minting").
+    """
+    prepared = mentions.select(
+        F.col(span_col).alias("span"),
+        F.col(type_col).alias("entity_type"),
+        normalize_name(span_col).alias("norm_name"),
+        norm_key(span_col).alias("norm_key"),
+        F.lower(F.col(type_col)).alias("type_key"),
+    )
+    return (
+        prepared.groupBy("type_key", "norm_key")
+        .agg(
+            F.first("entity_type").alias("entity_type"),
+            F.array_sort(F.collect_set("span")).alias("surface_forms"),
+            F.array_sort(F.collect_set("norm_name")).alias("norm_names"),
+            F.count(F.lit(1)).alias("n_mentions"),
+        )
+        .withColumn("node_id", mint_entity_id(F.lit(context_id), "type_key", "norm_key"))
+    )
+
+
+def match_edges(nodes: DataFrame) -> DataFrame:
+    """Undirected similarity edges between nodes (same tier rules as linking).
+
+    Same norm_key is already one node, so edges cover PARTIAL and FUZZY.
+    """
+    n = nodes.select("node_id", "type_key", "norm_key")
+    # PARTIAL: single-word key matches a token (len >= 4) of a multi-word key.
+    singles = n.filter(~F.col("norm_key").contains(" ") & (F.length("norm_key") >= MIN_PART_LENGTH)).alias("s")
+    multi_tokens = (
+        n.filter(F.col("norm_key").contains(" "))
+        .withColumn("token", F.explode(F.split("norm_key", r"\s+")))
+        .filter(F.length("token") >= MIN_PART_LENGTH)
+        .alias("t")
+    )
+    partial = singles.join(
+        multi_tokens,
+        (F.col("s.norm_key") == F.col("t.token")) & (F.col("s.type_key") == F.col("t.type_key")),
+    ).select(F.col("s.node_id").alias("a"), F.col("t.node_id").alias("b"))
+
+    # FUZZY: blocked on (type, first char, length band); levenshtein threshold
+    # floor(min_len * 0.2), min length 4 (FuzzyNameCandidateSearcher.kt:45-47).
+    band = lambda c: F.floor(F.length(c) / 4)  # noqa: E731
+    f = n.filter(F.length("norm_key") >= MIN_FUZZY_LENGTH)
+    fa, fb = f.alias("fa"), f.alias("fb")
+    min_len = F.least(F.length("fa.norm_key"), F.length("fb.norm_key"))
+    fuzzy = fa.join(
+        fb,
+        (F.col("fa.type_key") == F.col("fb.type_key"))
+        & (F.col("fa.node_id") < F.col("fb.node_id"))
+        & (F.substring(F.col("fa.norm_key"), 1, 1) == F.substring(F.col("fb.norm_key"), 1, 1))
+        & (band(F.col("fa.norm_key")) == band(F.col("fb.norm_key"))),
+    ).filter(
+        F.levenshtein(F.col("fa.norm_key"), F.col("fb.norm_key"))
+        <= F.floor(min_len * MAX_DISTANCE_RATIO)
+    ).select(F.col("fa.node_id").alias("a"), F.col("fb.node_id").alias("b"))
+
+    return partial.unionByName(fuzzy).distinct()
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    node_col: str = "node_id",
+    max_iter: int = 25,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Min-id label propagation until fixpoint -> (node_id, component).
+
+    The reference's union-find with path compression and smaller-id-as-root
+    (DuplicateCollectorStrategy.kt:117-146) computes the same partition; label
+    propagation is its shuffle-native equivalent. localCheckpoint truncates
+    the iterative lineage so plans stay bounded at scale.
+    """
+    # Materialize inputs once — every iteration reads them, and without this
+    # each convergence check would recompute the whole upstream pipeline.
+    sym = (
+        edges.select(F.col("a"), F.col("b"))
+        .unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        nodes.select(F.col(node_col).alias("id"))
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.a == labels.id, "inner")
+            .groupBy(sym.b.alias("id"))
+            .agg(F.min("component").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce("neigh_min", F.col("component"))).alias("component"),
+                (F.coalesce("neigh_min", F.col("component")) < F.col("component")).alias("changed"),
+            )
+            # Eager checkpoint truncates iterative lineage; one pass both
+            # materializes the new labels and serves the convergence count.
+            .localCheckpoint(eager=True)
+        )
+        n_changed = new_labels.filter(F.col("changed")).limit(1).count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    return labels.withColumnRenamed("id", node_col)
+
+
+def canonical_entities(nodes: DataFrame, components: DataFrame) -> DataFrame:
+    """Components -> entities table with canonical display name.
+
+    Name score per DefaultCanonicalNameSelector (scored over normalized
+    forms); ties break on the lexicographically first form (the reference's
+    "first supplied wins" made order-free deterministic).
+    """
+    labeled = nodes.join(components, "node_id")
+    forms = labeled.select(
+        "component",
+        F.explode("norm_names").alias("form"),
+    )
+    scored = forms.withColumn("score", canonical_name_score("form"))
+    w = Window.partitionBy("component").orderBy(F.desc("score"), F.asc("form"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("form").alias("canonical_name"))
+    )
+    agg = labeled.groupBy("component").agg(
+        F.first("entity_type").alias("entity_type"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("surface_forms")))).alias("surface_forms"),
+        F.sum("n_mentions").alias("n_mentions"),
+    )
+    return (
+        agg.join(best, "component")
+        .select(
+            F.col("component").alias("entity_id"),
+            "canonical_name",
+            "entity_type",
+            F.array(F.col("entity_type")).alias("labels"),
+            "surface_forms",
+            "n_mentions",
+        )
+    )
+
+
+def canonicalize_mentions(mentions: DataFrame, context_id: str, span_col: str = "span", type_col: str = "entity_type") -> tuple[DataFrame, DataFrame]:
+    """Full canonicalization: mentions -> (entities, mention->entity mapping)."""
+    nodes = mention_nodes(mentions, context_id, span_col, type_col)
+    comps = connected_components(nodes, match_edges(nodes))
+    entities = canonical_entities(nodes, comps)
+    mapping = nodes.join(comps, "node_id").select(
+        "type_key", "norm_key", F.col("component").alias("resolved_id")
+    )
+    return entities, mapping

@@ -1,0 +1,248 @@
+"""Document deduplication operators (training-data pipeline surface).
+
+Beyond the reference's proposition-level dedup, these are the large-scale
+corpus-dedup primitives a 100 TB training-data pipeline needs, over the
+``documents`` table (doc_id, text, lang, source, n_chars):
+
+* exact_dedup           — hash-groupBy on canonicalized text (one shuffle);
+* ngram_jaccard_pairs   — shingle-overlap candidate pairs via an inverted
+                          n-gram index join (never a cross join);
+* minhash_signature /
+  minhash_lsh_pairs     — MinHash (md5-based, engine-portable) banded LSH:
+                          shingle -> minhash -> band -> bucket join;
+* simhash64             — 64-bit SimHash over token hashes (Hamming near-dup);
+* embedding_near_dup    — cosine near-duplicate pairs over an embedding column.
+
+Scale notes: every operator blocks before comparing — the bucket-join pattern
+keeps pair generation linear in (docs x bands), AQE handles hot buckets; exact
+cosine runs only within blocks/candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dice_spark.functions.textfns import canonicalize_text
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of exact duplicates after text canonicalization.
+
+    Returns (canon_hash, n_docs, doc_ids, keep_id) — keep_id = min id survives.
+    """
+    canon = canonicalize_text(text_col)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(canon).alias("canon_hash"))
+        .groupBy("canon_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array over canonicalized text (distinct)."""
+    words = F.split(canonicalize_text(text), " ")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), k - 1)
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs with n-gram Jaccard >= threshold via inverted index.
+
+    Pairs share >= 1 shingle by construction; Jaccard computed from exact
+    shingle-set sizes: J = |inter| / (|a| + |b| - |inter|).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    inv = sh.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signature(text: Column, n_hashes: int = 16, n: int = 3) -> Column:
+    """md5-based MinHash signature: per seed i, min(md5(i || shingle)).
+
+    String-min over salted md5 hex is engine-portable (identical in DuckDB),
+    unlike murmur3 — chosen so the oracle can recompute signatures exactly.
+    """
+    sh = shingles(text, n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded-LSH candidate pairs: docs agreeing on a full band collide.
+
+    rows_per_band = n_hashes / bands; band key = md5(concat(band rows)).
+    Returns (doc_a, doc_b, n_bands_matched).
+    """
+    rows = n_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"), minhash_signature(F.col(text_col), n_hashes, n).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(F.concat_ws("|", *[F.col("sig")[bi * rows + r] for r in range(rows)])).alias("key"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands_matched"))
+    )
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash over token xxhash64 values, as a signed bigint.
+
+    Per bit b: sum(+1 if bit set else -1) over tokens; bit set in the result
+    when the sum > 0. Pure column expressions (aggregate over token array).
+    """
+    tokens = F.split(canonicalize_text(text), " ")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    bit_votes = [
+        F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h, b=b: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        for b in range(64)
+    ]
+    out = F.lit(0).cast("long")
+    for b, v in enumerate(bit_votes):
+        out = out + F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_near_dups(docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming.
+
+    Blocked on 16-bit quarters (pigeonhole: distance <= 3 implies at least one
+    of 4 quarters identical) — never a cross join.
+    """
+    sh = docs.select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sh"))
+    quarters = sh.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftright(F.col("sh"), q * 16).bitwiseAND(F.lit(0xFFFF)).alias("qk"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "sh", F.col("b.q").alias("q"), F.col("b.qk").alias("qk"))
+    a, b = quarters.alias("a"), quarters.alias("b")
+    xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
+    hamming = F.bit_count(xor)
+    return (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q")) & (F.col("a.qk") == F.col("b.qk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns via zip_with/aggregate."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")), F.lit(0.0), lambda acc, v: acc + v
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")))
+    return dot / (na * nb)
+
+
+def embedding_near_dups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked.
+
+    Default blocking reuses a coarse partition column (e.g. cluster label from
+    an upstream IVF/k-means assignment); falls back to sign-of-first-component
+    blocking. Exact cosine only within blocks.
+    """
+    e = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
+                          (F.col(block_col) if block_col else F.signum(F.col(vec_col)[0])).alias("blk"))
+    a, b = e.alias("a"), e.alias("b")
+    sim = cosine_expr(F.col("a.vec"), F.col("b.vec"))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vid") < F.col("b.vid")))
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.round(sim, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

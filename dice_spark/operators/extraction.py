@@ -1,0 +1,253 @@
+"""Schema-guided deterministic triple extraction.
+
+The reference's extraction stage is an LLM prompt (LlmPropositionExtractor,
+/root/reference/dice/.../proposition/extraction/LlmPropositionExtractor.kt:233-265);
+its deterministic test stand-in pins propositions (FixedPropositionExtractor,
+dice-integration-tests/.../FixedPropositionExtractor.kt:41-67) and predicate
+matching is case-insensitive substring against the declared relation
+vocabulary, first declared match wins (RelationBasedGraphProjector.kt:292-325).
+
+This module implements that deterministic semantic two ways:
+
+* ``extract_triples`` — pure Catalyst column expressions (broadcast join of
+  sentences x relations, first-match-wins via priority row_number). Used for
+  oracle parity; stays entirely inside whole-stage codegen.
+* ``extract_triples_udf`` — the vectorized pandas/Arrow ``mapInPandas`` seam
+  demanded by the north rule: batched mention detection + relation
+  classification per partition, no per-row Python (pandas C-level str ops,
+  one vectorized regex pass per relation). This is where a real LLM/model
+  extractor plugs in; both paths produce identical rows (tested).
+
+Scale notes: relations is a tiny broadcast; the sentence explode is map-side;
+nothing shuffles until the downstream proposition groupBy. The UDF receives
+Arrow batches (spark.sql.execution.arrow.maxRecordsPerBatch) per partition.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dice_spark.synth import ORGS, PROJECTS, RELATIONS
+
+# Output schema of both extractors (one row per extracted triple candidate).
+TRIPLES_SCHEMA = (
+    "chunk_id string, conv_id string, turn_idx int, sentence string, "
+    "predicate string, priority int, subj_span string, obj_span string, "
+    "subj_type string, obj_type string, confidence double, decay double"
+)
+
+# Split after a sentence-final period — but never after a single-initial
+# ("Q.") or title ("Dr.") abbreviation, which would decapitate names.
+_SENTENCE_SPLIT = r"(?<=\.)(?<![A-Z]\.)(?<!\bDr\.)(?<!\bMr\.)(?<!\bMs\.)(?<!\bMrs\.)(?<!\bProf\.)\s+"
+
+
+def entity_type_expr(span):
+    """Schema-guided mention typing: known org / project vocab, else Person.
+
+    Stands in for the reference's schema-hints prompt section
+    (resources/prompts/dice/schema_hints.jinja) that pins known entity types.
+    """
+    org = F.array(*[F.lit(o) for o in ORGS])
+    return (
+        F.when(F.array_contains(org, span), "Org")
+        .when(span.startswith("Project "), "Project")
+        .otherwise("Person")
+    )
+
+
+def _confidence_expr(sentence):
+    # Deterministic stand-in confidence rule: varies by content, range [0.5, 0.99].
+    return F.lit(0.5) + (F.length(sentence) % 50).cast("double") / 100.0
+
+
+def _decay_expr(subj):
+    return (F.length(subj) % 10).cast("double") / 10.0
+
+
+def sentences_from_turns(turns: DataFrame) -> DataFrame:
+    """Turn rows -> one row per sentence (keeps chunk/conv/turn keys)."""
+    return turns.select(
+        "chunk_id",
+        "conv_id",
+        "turn_idx",
+        F.explode(F.split(F.col("text"), _SENTENCE_SPLIT)).alias("sentence"),
+    ).filter(F.length(F.trim("sentence")) > 0)
+
+
+def extract_triples(turns: DataFrame, relations: DataFrame, conf_overrides: dict | None = None) -> DataFrame:
+    """Pure-DataFrame extractor: sentences x broadcast(relations) substring join.
+
+    ``conf_overrides`` optionally pins (confidence, decay) per exact sentence
+    text (the FixedPropositionExtractor pattern used by the golden fixtures).
+    """
+    sents = sentences_from_turns(turns)
+    joined = sents.join(
+        F.broadcast(relations),
+        F.instr(F.lower(F.col("sentence")), F.col("predicate")) > 0,
+        "inner",
+    )
+    # First declared relation wins (reference match priority).
+    first = Window.partitionBy("chunk_id", "turn_idx", "sentence").orderBy("priority")
+    matched = (
+        joined.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    pos = F.instr(F.lower(F.col("sentence")), F.col("predicate"))
+    subj = F.trim(F.substring(F.col("sentence"), F.lit(1), pos - 1))
+    after = F.substring(
+        F.col("sentence"), pos + F.length("predicate"), F.length("sentence")
+    )
+    obj = F.trim(F.regexp_replace(F.trim(after), r"\.$", ""))
+    out = matched.select(
+        "chunk_id",
+        "conv_id",
+        "turn_idx",
+        "sentence",
+        "predicate",
+        "priority",
+        subj.alias("subj_span"),
+        obj.alias("obj_span"),
+        entity_type_expr(subj).alias("subj_type"),
+        entity_type_expr(obj).alias("obj_type"),
+        _confidence_expr(F.col("sentence")).alias("confidence"),
+        _decay_expr(subj).alias("decay"),
+    )
+    if conf_overrides:
+        conf = F.col("confidence")
+        dec = F.col("decay")
+        for text, (c, d) in conf_overrides.items():
+            conf = F.when(F.col("sentence") == text, F.lit(float(c))).otherwise(conf)
+            dec = F.when(F.col("sentence") == text, F.lit(float(d))).otherwise(dec)
+        out = out.withColumn("confidence", conf).withColumn("decay", dec)
+    return out
+
+
+def extract_triples_udf(turns: DataFrame, conf_overrides: dict | None = None) -> DataFrame:
+    """Vectorized mapInPandas extractor — identical semantics to extract_triples.
+
+    Per Arrow batch: explode sentences, then one vectorized regex pass per
+    relation in priority order (first match wins). All pandas C-level ops.
+    """
+    import pandas as pd
+
+    overrides = dict(conf_overrides or {})
+    relations = list(RELATIONS)
+    orgs = set(ORGS)
+    projects = tuple(PROJECTS)
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            s = pdf[["chunk_id", "conv_id", "turn_idx", "text"]].copy()
+            s["sentence"] = s["text"].str.split(_SENTENCE_SPLIT, regex=True)
+            s = s.explode("sentence", ignore_index=True)
+            s = s[s["sentence"].str.strip().str.len() > 0]
+            if len(s) == 0:
+                continue
+            low = s["sentence"].str.lower()
+            s["predicate"] = None
+            s["priority"] = -1
+            s["subj_span"] = None
+            s["obj_span"] = None
+            unmatched = pd.Series(True, index=s.index)
+            for prio, (pred, _st, _ot) in enumerate(relations):
+                if not unmatched.any():
+                    break
+                pat = re.compile(r"^(.*?)" + re.escape(pred) + r"(.*)$", re.IGNORECASE | re.DOTALL)
+                ext = s.loc[unmatched, "sentence"].str.extract(pat)
+                hit = ext[0].notna()
+                idx = ext.index[hit]
+                if len(idx) == 0:
+                    continue
+                s.loc[idx, "predicate"] = pred
+                s.loc[idx, "priority"] = prio
+                s.loc[idx, "subj_span"] = ext.loc[idx, 0].str.strip()
+                obj = ext.loc[idx, 1].str.strip().str.replace(r"\.$", "", regex=True).str.strip()
+                s.loc[idx, "obj_span"] = obj
+                unmatched.loc[idx] = False
+            s = s[~unmatched]
+            if len(s) == 0:
+                continue
+
+            def etype(col: "pd.Series") -> "pd.Series":
+                t = pd.Series("Person", index=col.index)
+                t[col.isin(orgs)] = "Org"
+                t[col.str.startswith("Project ", na=False)] = "Project"
+                return t
+
+            s["subj_type"] = etype(s["subj_span"])
+            s["obj_type"] = etype(s["obj_span"])
+            s["confidence"] = 0.5 + (s["sentence"].str.len() % 50) / 100.0
+            s["decay"] = (s["subj_span"].str.len() % 10) / 10.0
+            if overrides:
+                for text, (c, d) in overrides.items():
+                    m = s["sentence"] == text
+                    s.loc[m, "confidence"] = float(c)
+                    s.loc[m, "decay"] = float(d)
+            s["priority"] = s["priority"].astype("int32")
+            s["turn_idx"] = s["turn_idx"].astype("int32")
+            yield s[
+                [
+                    "chunk_id", "conv_id", "turn_idx", "sentence", "predicate",
+                    "priority", "subj_span", "obj_span", "subj_type", "obj_type",
+                    "confidence", "decay",
+                ]
+            ]
+
+    return turns.mapInPandas(run, schema=TRIPLES_SCHEMA)
+
+
+def triples_to_propositions(triples: DataFrame, context_id: str) -> DataFrame:
+    """Triple rows -> deduplicated propositions with mention arrays.
+
+    Exact-text dedup per context matches the store's (contextId, text)
+    uniqueness constraint (DrivinePropositionRepository.kt:90-130): repeated
+    extractions of the same sentence merge — grounding unioned, reinforce_count
+    incremented per extra occurrence, confidence boosted by the merge rule
+    min(c + 0.3*c_new, 0.99) applied per duplicate (LlmPropositionReviser
+    mergePropositions, revision/LlmPropositionReviser.kt:666-684).
+    """
+    ctx = F.lit(context_id)
+    base = triples.groupBy("sentence").agg(
+        F.first("predicate").alias("predicate"),
+        F.first("subj_span").alias("subj_span"),
+        F.first("obj_span").alias("obj_span"),
+        F.first("subj_type").alias("subj_type"),
+        F.first("obj_type").alias("obj_type"),
+        F.first("confidence").alias("base_confidence"),
+        F.first("decay").alias("base_decay"),
+        F.count(F.lit(1)).alias("occurrences"),
+        F.array_sort(F.collect_set("chunk_id")).alias("grounding"),
+        F.array_sort(F.collect_set("conv_id")).alias("source_ids"),
+    )
+    # n-1 merges: conf' = min(c * (1 + 0.3*(n-1)), 0.99); decay' = d * 0.7^(n-1)
+    n = F.col("occurrences").cast("double")
+    conf = F.least(
+        F.col("base_confidence") * (F.lit(1.0) + F.lit(0.3) * (n - 1)), F.lit(0.99)
+    )
+    dec = F.col("base_decay") * F.pow(F.lit(0.7), n - 1)
+    return base.select(
+        F.md5(F.concat_ws("|", ctx, F.col("sentence"))).alias("prop_id"),
+        ctx.alias("context_id"),
+        F.col("sentence").alias("text"),
+        "predicate",
+        "subj_span",
+        "obj_span",
+        "subj_type",
+        "obj_type",
+        F.round(conf, 6).alias("confidence"),
+        F.round(dec, 6).alias("decay"),
+        (F.col("occurrences") - 1).cast("int").alias("reinforce_count"),
+        "grounding",
+        "source_ids",
+        F.lit("ACTIVE").alias("status"),
+        F.lit(0).alias("level"),
+        F.lit(False).alias("pinned"),
+    )

@@ -1,0 +1,115 @@
+"""Read surface over the constructed KG: BFS, shortest path, 2-hop discovery.
+
+Ports GraphQuery (/root/reference/dice/src/main/kotlin/com/embabel/dice/query/
+graph/GraphQuery.kt): bounded-BFS neighborhood with first-discovery distance
+(:92-100,161-216), single shortest path with a cycle-safe visited set
+(:118-130,218-253); and TwoHopSemanticLinkDiscoverer
+(dice-report/.../SemanticLinkDiscoverer.kt:64-136): canonical unordered
+co-mention pairs, pairs NOT directly connected but sharing >= 1 neighbour,
+merged sorted intermediaries, stable (source, target) ordering — the
+canonical-flow golden test pins its exact output.
+
+BFS-as-joins: frontier join edges per depth with a visited anti-join; depth is
+bounded (default maxDepth=5) so the loop is a fixed small number of shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_DEPTH_DEFAULT = 5
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    e = edges.select(F.col("source_id").alias("src"), F.col("target_id").alias("dst"))
+    return e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+
+
+def neighborhood(edges: DataFrame, start_id: str, max_depth: int = MAX_DEPTH_DEFAULT) -> DataFrame:
+    """(entity_id, distance) — first-discovery BFS distance from start."""
+    spark = edges.sparkSession
+    sym = _undirected(edges).cache()
+    visited = spark.createDataFrame([(start_id, 0)], "entity_id string, distance int")
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            sym.join(frontier, sym.src == frontier.entity_id)
+            .select(F.col("dst").alias("entity_id"))
+            .distinct()
+            .join(visited.select("entity_id"), "entity_id", "left_anti")
+            .withColumn("distance", F.lit(d))
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.filter(F.col("distance") > 0)
+
+
+def path_between(edges: DataFrame, from_id: str, to_id: str, max_depth: int = MAX_DEPTH_DEFAULT) -> list[str] | None:
+    """Single BFS shortest path as an id list, None when unreachable.
+
+    Deterministic tie-break: the lexicographically smallest predecessor wins,
+    replacing the reference's iteration-order dependence with a stable rule.
+    """
+    spark = edges.sparkSession
+    sym = _undirected(edges).cache()
+    visited = spark.createDataFrame(
+        [(from_id, 0, None)], "entity_id string, distance int, pred string"
+    )
+    frontier = visited
+    found = from_id == to_id
+    for d in range(1, max_depth + 1):
+        if found:
+            break
+        nxt = (
+            sym.join(frontier, sym.src == frontier.entity_id)
+            .groupBy(F.col("dst").alias("entity_id"))
+            .agg(F.min("src").alias("pred"))
+            .join(visited.select("entity_id"), "entity_id", "left_anti")
+            .withColumn("distance", F.lit(d))
+            .select("entity_id", "distance", "pred")
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+        found = nxt.filter(F.col("entity_id") == to_id).limit(1).count() > 0
+    lookup = {r["entity_id"]: r["pred"] for r in visited.collect()}
+    if to_id not in lookup:
+        return None
+    path, cur = [], to_id
+    while cur is not None:
+        path.append(cur)
+        cur = lookup[cur]
+    return list(reversed(path))
+
+
+def two_hop_links(edges: DataFrame) -> DataFrame:
+    """Indirect 2-hop links: (source, target, connecting ids) — not directly
+    connected, sharing >= 1 neighbour; canonical pair a <= b; sorted output."""
+    sym = _undirected(edges)
+    e1, e2 = sym.alias("e1"), sym.alias("e2")
+    cand = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .filter(F.col("e1.src") < F.col("e2.dst"))
+        .select(
+            F.col("e1.src").alias("source"),
+            F.col("e2.dst").alias("target"),
+            F.col("e1.dst").alias("via"),
+        )
+    )
+    direct = sym.select(F.col("src").alias("source"), F.col("dst").alias("target"))
+    indirect = cand.join(direct, ["source", "target"], "left_anti")
+    return (
+        indirect.groupBy("source", "target")
+        .agg(F.array_sort(F.collect_set("via")).alias("connecting"))
+        .orderBy("source", "target")
+    )
+
+
+def why_explain(props: DataFrame, prop_id: str) -> DataFrame:
+    """Lineage from durable fields (GraphQuery.whyExplain, :139-141,255-271)."""
+    cols = [c for c in ["prop_id", "text", "grounding", "source_ids", "reinforce_count", "status", "confidence", "decay"] if c in props.columns]
+    return props.filter(F.col("prop_id") == prop_id).select(*cols)

@@ -1,0 +1,105 @@
+"""Graph projection: propositions -> (subj, pred, obj) edges + typed lineage.
+
+Semantics match RelationBasedGraphProjector.project (/root/reference/dice/src/
+main/kotlin/com/embabel/dice/projection/graph/RelationBasedGraphProjector.kt:221-283):
+
+1. policy check — DefaultProjectionPolicy requires confidence >= 0.85 AND a
+   fully resolved proposition (ProjectionPolicy.kt:47-61);
+2. predicate match — first declared relation whose predicate is a
+   case-insensitive substring of the text (done upstream at extraction; the
+   projector validates it exists);
+3. subject/object type validation against the relation's declared constraints,
+   case-insensitive (":339-384");
+4. both SUBJECT and OBJECT mentions must carry a resolved id.
+
+Failures are typed (PolicyRejected / NoMatchingPredicate / TypeMismatch /
+UnresolvedMention) and become lineage rows (GraphProjectionService.kt:99-165).
+
+Scale notes: relations is broadcast; the only shuffle is the edge-level
+dedup/MERGE keyed on edge_ref. Edge output partitions by bucket(source_id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dice_spark.functions.textfns import upper_snake
+
+DEFAULT_MIN_CONFIDENCE = 0.85  # DefaultProjectionPolicy (ProjectionPolicy.kt:47-61)
+LENIENT_MIN_CONFIDENCE = 0.7
+
+
+def classify_projection(
+    props: DataFrame,
+    relations: DataFrame,
+    min_confidence: float = DEFAULT_MIN_CONFIDENCE,
+) -> DataFrame:
+    """Adds ``lifecycle`` (PROJECTED | SKIPPED) and ``reason`` columns.
+
+    Expects proposition rows with subj/obj resolved ids already attached
+    (columns ``subj_id``, ``obj_id`` — null when unresolved).
+    """
+    p = props.join(
+        F.broadcast(relations.select("predicate", "subject_type", "object_type")),
+        "predicate",
+        "left",
+    )
+    type_ok = (
+        (F.col("subject_type").isNull() | (F.lower("subject_type") == F.lower("subj_type")))
+        & (F.col("object_type").isNull() | (F.lower("object_type") == F.lower("obj_type")))
+    )
+    reason = (
+        F.when(F.col("confidence") < min_confidence, "PolicyRejected")
+        .when(F.col("subject_type").isNull() & F.col("object_type").isNull() & F.col("predicate").isNull(), "NoMatchingPredicate")
+        .when(F.col("subj_id").isNull() | F.col("obj_id").isNull(), "UnresolvedMention")
+        .when(~type_ok, "TypeMismatch")
+    )
+    return p.withColumn("reason", reason).withColumn(
+        "lifecycle", F.when(F.col("reason").isNull(), "PROJECTED").otherwise("SKIPPED")
+    )
+
+
+def project_edges(classified: DataFrame) -> DataFrame:
+    """PROJECTED rows -> edges table; one edge per edge_ref (MERGE key).
+
+    edge_ref = "src-[TYPE]->dst" (GraphProjector.kt:55). Multiple propositions
+    emitting the same edge merge: max confidence, unioned source_prop_ids —
+    the reconciler's Adopt path (projection/lineage/Reconciler.kt).
+    """
+    e = classified.filter(F.col("lifecycle") == "PROJECTED").select(
+        F.col("subj_id").alias("source_id"),
+        F.col("obj_id").alias("target_id"),
+        upper_snake("predicate").alias("edge_type"),
+        "confidence",
+        F.col("text").alias("description"),
+        F.col("prop_id"),
+    )
+    return (
+        e.groupBy("source_id", "target_id", "edge_type")
+        .agg(
+            F.round(F.max("confidence"), 6).alias("confidence"),
+            F.min("description").alias("description"),
+            F.array_sort(F.collect_set("prop_id")).alias("source_prop_ids"),
+        )
+        .withColumn(
+            "edge_ref",
+            F.concat(
+                F.col("source_id"), F.lit("-["), F.col("edge_type"), F.lit("]->"), F.col("target_id")
+            ),
+        )
+    )
+
+
+def projection_records(classified: DataFrame, run_id: str) -> DataFrame:
+    """One lineage row per proposition per run (ProjectionRecord)."""
+    return classified.select(
+        F.lit(run_id).alias("run_id"),
+        "prop_id",
+        "lifecycle",
+        F.when(
+            F.col("lifecycle") == "PROJECTED",
+            F.concat(F.col("subj_id"), F.lit("-["), upper_snake("predicate"), F.lit("]->"), F.col("obj_id")),
+        ).alias("target_ref"),
+        "reason",
+    )

@@ -1,0 +1,81 @@
+"""Decay sweep / status transitions / report aggregates (maintenance jobs).
+
+Ports: DecayCollectorStrategy (projection/memory/DecayCollectorStrategy.kt:39-62 —
+mark unpinned ACTIVE with effective confidence < retire_below as STALE),
+StatusTransitionSweepPolicy (spi/SweepPolicy.kt:56-74 — pinned are skipped,
+nothing is ever hard-deleted), DecayStatusPolicy hysteresis
+(spi/StatusTransitionPolicy.kt:91-112 — ACTIVE->STALE below 0.1,
+STALE->ACTIVE above 0.2), and StructuredReportProjector
+(dice-report/.../StructuredReportProjector.kt:31-79 — groupBy status/level and
+top-N by effective confidence desc, id asc; the golden test pins exact order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dice_spark.functions.decay import effective_confidence
+
+RETIRE_BELOW_DEFAULT = 0.5
+HYSTERESIS_STALE_BELOW = 0.1
+HYSTERESIS_ACTIVE_ABOVE = 0.2
+
+
+def with_effective_confidence(props: DataFrame, as_of: Column, **kw) -> DataFrame:
+    return props.withColumn(
+        "eff_conf", F.round(effective_confidence(as_of=as_of, **kw), 6)
+    )
+
+
+def decay_sweep(props: DataFrame, as_of: Column, retire_below: float = RETIRE_BELOW_DEFAULT, dry_run: bool = False, run_id: str = "sweep-0") -> tuple[DataFrame, DataFrame]:
+    """Mark unpinned ACTIVE props with eff_conf < retire_below -> STALE.
+
+    Returns (updated_props, collector_records). dry_run records MARKED without
+    mutating (DefaultCollectorRunner.kt:239-259).
+    """
+    p = with_effective_confidence(props, as_of)
+    mark = (~F.col("pinned")) & (F.col("status") == "ACTIVE") & (F.col("eff_conf") < retire_below)
+    records = p.filter(mark).select(
+        F.lit(run_id).alias("run_id"),
+        "prop_id",
+        F.lit("MARKED" if dry_run else "SWEPT").alias("lifecycle"),
+        F.lit(None).cast("string").alias("target_ref"),
+        F.concat(F.lit("eff_conf<"), F.lit(str(retire_below))).alias("reason"),
+    )
+    if dry_run:
+        return props, records
+    updated = p.withColumn(
+        "status", F.when(mark, "STALE").otherwise(F.col("status"))
+    ).drop("eff_conf")
+    return updated, records
+
+
+def hysteresis_transition(props: DataFrame, as_of: Column) -> DataFrame:
+    """DecayStatusPolicy: ACTIVE->STALE below 0.1; STALE->ACTIVE above 0.2."""
+    p = with_effective_confidence(props, as_of)
+    return p.withColumn(
+        "status",
+        F.when((F.col("status") == "ACTIVE") & (F.col("eff_conf") < HYSTERESIS_STALE_BELOW), "STALE")
+        .when((F.col("status") == "STALE") & (F.col("eff_conf") > HYSTERESIS_ACTIVE_ABOVE), "ACTIVE")
+        .otherwise(F.col("status")),
+    ).drop("eff_conf")
+
+
+def report_by_status(props: DataFrame) -> DataFrame:
+    return props.groupBy("status").agg(F.count(F.lit(1)).alias("n")).orderBy("status")
+
+
+def report_by_level(props: DataFrame) -> DataFrame:
+    return props.groupBy("level").agg(F.count(F.lit(1)).alias("n")).orderBy("level")
+
+
+def report_top_n(props: DataFrame, as_of: Column, n: int = 10) -> DataFrame:
+    """Top-N by (effective confidence desc, prop_id asc) — pinned ordering
+    (StructuredReportProjector.kt:62-66)."""
+    return (
+        with_effective_confidence(props, as_of)
+        .orderBy(F.desc("eff_conf"), F.asc("prop_id"))
+        .select("prop_id", "text", "eff_conf")
+        .limit(n)
+    )

@@ -1,0 +1,108 @@
+"""End-to-end KG-construction pipeline: transcripts -> entities + edges + lineage.
+
+Stage graph (each an idiomatic DataFrame transform; reference lifecycle in
+SURVEY.md §3.1):
+
+  transcripts
+    -> assemble_windows        (one shuffle on conv_id)
+    -> [anti-join processed_chunks checkpoint]         (resume)
+    -> split_turns -> extract  (broadcast relations / mapInPandas seam)
+    -> mentions -> canonicalize (blocking joins + iterative CC)
+    -> propositions (exact-text dedup/merge per context)
+    -> classify_projection -> edges + projection_records (lineage)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dice_spark.functions.normalize import norm_key
+from dice_spark.operators.assembly import assemble_windows, split_turns
+from dice_spark.operators.canonicalize import canonicalize_mentions
+from dice_spark.operators.extraction import (
+    extract_triples,
+    extract_triples_udf,
+    triples_to_propositions,
+)
+from dice_spark.operators.projection import (
+    DEFAULT_MIN_CONFIDENCE,
+    classify_projection,
+    project_edges,
+    projection_records,
+)
+from dice_spark.synth import relations_df
+
+
+def run_pipeline(
+    transcripts: DataFrame,
+    context_id: str = "default",
+    relations: DataFrame | None = None,
+    conf_overrides: dict | None = None,
+    use_udf_extractor: bool = True,
+    min_confidence: float = DEFAULT_MIN_CONFIDENCE,
+    processed_chunks: DataFrame | None = None,
+    run_id: str = "run-0",
+    shuffle_partitions: int | None = None,
+) -> dict[str, DataFrame]:
+    spark = transcripts.sparkSession
+    relations = relations if relations is not None else relations_df(spark)
+
+    chunks = assemble_windows(transcripts)
+    if processed_chunks is not None:
+        # Resume: skip windows whose content hash was already processed
+        # (IngestionLedger.recordIfAbsent / ChunkHistoryStore semantics).
+        chunks = chunks.join(
+            processed_chunks.select("conv_id", "content_hash"),
+            ["conv_id", "content_hash"],
+            "left_anti",
+        )
+    turns = split_turns(chunks)
+
+    if use_udf_extractor:
+        triples = extract_triples_udf(turns, conf_overrides)
+    else:
+        triples = extract_triples(turns, relations, conf_overrides)
+
+    mentions = triples.select(
+        F.col("subj_span").alias("span"), F.col("subj_type").alias("entity_type")
+    ).unionByName(
+        triples.select(F.col("obj_span").alias("span"), F.col("obj_type").alias("entity_type"))
+    )
+    entities, mapping = canonicalize_mentions(mentions, context_id)
+
+    props = triples_to_propositions(triples, context_id)
+    subj_map = mapping.select(
+        F.col("norm_key").alias("_sk"), F.col("type_key").alias("_st"), F.col("resolved_id").alias("subj_id")
+    )
+    obj_map = mapping.select(
+        F.col("norm_key").alias("_ok"), F.col("type_key").alias("_ot"), F.col("resolved_id").alias("obj_id")
+    )
+    props = (
+        props.withColumn("_sk", norm_key("subj_span"))
+        .withColumn("_st", F.lower("subj_type"))
+        .withColumn("_ok", norm_key("obj_span"))
+        .withColumn("_ot", F.lower("obj_type"))
+        # Entity-map joins: AQE picks broadcast when the distinct-mention
+        # vocabulary is small; at 10^12-turn scale it shuffles on the salted
+        # norm_key (vocabulary cardinality, not mention cardinality).
+        .join(subj_map, ["_sk", "_st"], "left")
+        .join(obj_map, ["_ok", "_ot"], "left")
+        .drop("_sk", "_st", "_ok", "_ot")
+    )
+
+    classified = classify_projection(props, relations, min_confidence)
+    edges = project_edges(classified)
+    records = projection_records(classified, run_id)
+
+    return {
+        "chunks": chunks,
+        "turns": turns,
+        "triples": triples,
+        "propositions": props,
+        "entities": entities,
+        "mention_mapping": mapping,
+        "classified": classified,
+        "edges": edges,
+        "projection_records": records,
+    }

@@ -1,0 +1,65 @@
+"""Golden canonical-flow test, ported from the reference TCK
+(AbstractCanonicalFlowTest.kt:59-215 + CanonicalFlowFixtures.kt:44-135).
+
+Alice works with Bob / Bob works with Carol / Carol works with Dana, pinned
+confidences 0.95/0.95/0.2 — at the 0.85 default projection threshold exactly
+two edges emit and the decay candidate is SKIPPED.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from dice_spark.pipeline import run_pipeline
+from dice_spark.synth import CANONICAL_FLOW_CONF, canonical_flow_rows, make_transcripts
+
+
+@pytest.fixture(scope="module", params=[True, False], ids=["udf", "expr"])
+def result(request, spark):
+    transcripts = make_transcripts(spark, canonical_flow_rows())
+    out = run_pipeline(
+        transcripts,
+        context_id="canonical",
+        conf_overrides=CANONICAL_FLOW_CONF,
+        use_udf_extractor=request.param,
+    )
+    return {k: v.cache() for k, v in out.items()}
+
+
+def _name(entities, entity_id):
+    return {r["entity_id"]: r["canonical_name"] for r in entities.collect()}[entity_id]
+
+
+def test_exactly_two_edges_emitted(result):
+    edges = result["edges"].collect()
+    ents = {r["entity_id"]: r["canonical_name"] for r in result["entities"].collect()}
+    triples = sorted((ents[e["source_id"]], e["edge_type"], ents[e["target_id"]]) for e in edges)
+    assert triples == [("Alice", "WORKS_WITH", "Bob"), ("Bob", "WORKS_WITH", "Carol")]
+
+
+def test_lineage_projected_and_skipped(result):
+    recs = result["projection_records"].collect()
+    by_lc = {}
+    for r in recs:
+        by_lc.setdefault(r["lifecycle"], []).append(r)
+    assert len(by_lc.get("PROJECTED", [])) == 2
+    skipped = by_lc.get("SKIPPED", [])
+    assert len(skipped) == 1
+    assert skipped[0]["reason"] == "PolicyRejected"
+
+
+def test_four_entities_canonicalized(result):
+    names = sorted(r["canonical_name"] for r in result["entities"].collect())
+    assert names == ["Alice", "Bob", "Carol", "Dana"]
+
+
+def test_edge_confidences(result):
+    confs = sorted(r["confidence"] for r in result["edges"].collect())
+    assert confs == [0.95, 0.95]
+
+
+def test_propositions_active_level0(result):
+    props = result["propositions"].collect()
+    assert len(props) == 3
+    assert all(p["status"] == "ACTIVE" and p["level"] == 0 for p in props)
+    assert all(p["reinforce_count"] == 0 for p in props)

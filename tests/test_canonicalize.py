@@ -1,0 +1,73 @@
+"""Entity-resolution fixture suite (FIXTURES.md §3): rows with the same
+expected_group must land in one component; distinct groups stay distinct."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from dice_spark.operators.canonicalize import canonicalize_mentions
+from dice_spark.synth import er_fixture_rows
+
+
+def test_er_fixture_groups(spark):
+    rows = er_fixture_rows()
+    df = spark.createDataFrame(rows, "span string, entity_type string, expected_group string")
+    entities, mapping = canonicalize_mentions(df, "er-test")
+    from dice_spark.functions.normalize import norm_key
+    from pyspark.sql import functions as F
+
+    resolved = (
+        df.withColumn("norm_key", norm_key("span"))
+        .withColumn("type_key", F.lower("entity_type"))
+        .join(mapping, ["type_key", "norm_key"])
+        .select("span", "entity_type", "expected_group", "resolved_id")
+        .collect()
+    )
+    assert len(resolved) == len(rows)
+    by_group = defaultdict(set)
+    by_component = defaultdict(set)
+    for r in resolved:
+        by_group[r["expected_group"]].add(r["resolved_id"])
+        by_component[r["resolved_id"]].add(r["expected_group"])
+    # same expected_group -> exactly one component
+    for g, comps in by_group.items():
+        assert len(comps) == 1, f"group {g} split across {comps}"
+    # one component never mixes two expected groups
+    for c, groups in by_component.items():
+        assert len(groups) == 1, f"component {c} merged groups {groups}"
+
+
+def test_canonical_name_selection(spark):
+    df = spark.createDataFrame(
+        [
+            ("hunter.hordern@example.com", "Person", "g"),
+            ("HUNTER HORDERN", "Person", "g"),
+            ("Hunter Hordern", "Person", "g"),
+            ("Dr. Hunter Hordern", "Person", "g"),
+        ],
+        "span string, entity_type string, expected_group string",
+    )
+    entities, _ = canonicalize_mentions(df, "names")
+    rows = entities.collect()
+    names = {r["canonical_name"] for r in rows}
+    # The email form normalizes to a distinct key (no spaces) — it stays its
+    # own entity; the three name variants collapse and pick "Hunter Hordern".
+    assert "Hunter Hordern" in names
+
+
+def test_fuzzy_and_partial_edges(spark):
+    df = spark.createDataFrame(
+        [
+            ("Katharine Jones", "Person", "kj"),
+            ("Katherine Jones", "Person", "kj"),
+            ("Brahms", "Person", "b"),
+            ("Johannes Brahms", "Person", "b"),
+            ("Mark", "Person", "m1"),
+            ("Marx", "Person", "m2"),
+        ],
+        "span string, entity_type string, expected_group string",
+    )
+    entities, mapping = canonicalize_mentions(df, "fz")
+    n = entities.count()
+    # kj merges, b merges, Mark/Marx stay apart (len 4 -> max distance 0)
+    assert n == 4
