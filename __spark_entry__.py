@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction pipeline (transcripts ->
+windows -> extraction -> canonicalization -> edges) on sf0.001. ``queries()``
+exposes each operator from SURVEY.md §2 as (spark, sf_dir) -> DataFrame;
+``oracle_sql()`` returns the DuckDB-checkable equivalent built in
+dice_spark/oracle.py. The transcript input is derived deterministically from
+the ``events`` table (dice_spark/synth.py) so both engines see identical rows.
 """
 
 from __future__ import annotations
@@ -12,27 +13,203 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dice_spark import oracle, oracle_docs
+from dice_spark.functions.normalize import norm_key
+from dice_spark.functions.textstats import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from dice_spark.operators.assembly import assemble_windows, split_turns
+from dice_spark.operators.canonicalize import canonicalize_mentions
+from dice_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from dice_spark.operators.extraction import extract_triples_udf, triples_to_propositions
+from dice_spark.operators.projection import classify_projection, project_edges
+from dice_spark.operators.similarity import brute_force_topk
+from dice_spark.streaming.incremental import triggered_windows
+from dice_spark.synth import relations_df, transcripts_from_events
+
+CTX = oracle.CTX
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts_from_events(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    turns = split_turns(assemble_windows(_transcripts(spark, sf_dir)))
+    return extract_triples_udf(turns)
+
+
+def _mentions(triples: DataFrame) -> DataFrame:
+    return triples.select(
+        F.col("subj_span").alias("span"), F.col("subj_type").alias("entity_type")
+    ).unionByName(
+        triples.select(F.col("obj_span").alias("span"), F.col("obj_type").alias("entity_type"))
+    )
+
+
+def _classified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    triples = _triples(spark, sf_dir)
+    props = triples_to_propositions(triples, CTX)
+    _, mapping = canonicalize_mentions(_mentions(triples), CTX)
+    subj_map = mapping.select(
+        F.col("norm_key").alias("_sk"), F.col("type_key").alias("_st"), F.col("resolved_id").alias("subj_id")
+    )
+    obj_map = mapping.select(
+        F.col("norm_key").alias("_ok"), F.col("type_key").alias("_ot"), F.col("resolved_id").alias("obj_id")
+    )
+    props = (
+        props.withColumn("_sk", norm_key("subj_span"))
+        .withColumn("_st", F.lower("subj_type"))
+        .withColumn("_ok", norm_key("obj_span"))
+        .withColumn("_ot", F.lower("obj_type"))
+        .join(subj_map, ["_sk", "_st"], "left")
+        .join(obj_map, ["_ok", "_ot"], "left")
+        .drop("_sk", "_st", "_ok", "_ot")
+    )
+    return classify_projection(props, relations_df(spark))
+
+
+# --- queries ---------------------------------------------------------------------
+
+
+def q_turn_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return assemble_windows(_transcripts(spark, sf_dir)).select(
+        "conv_id", "window_start", "window_end", "n_turns", "text", "chunk_id"
+    )
+
+
+def q_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _triples(spark, sf_dir)
+    return t.select(
+        "chunk_id", "conv_id", "turn_idx", "sentence", "predicate", "priority",
+        "subj_span", "obj_span", "subj_type", "obj_type",
+        F.round("confidence", 6).alias("confidence"),
+        F.round("decay", 6).alias("decay"),
+    )
+
+
+def q_propositions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    props = triples_to_propositions(_triples(spark, sf_dir), CTX)
+    return props.select(
+        "prop_id", "context_id", "text", "predicate", "subj_span", "obj_span",
+        "subj_type", "obj_type", "confidence", "decay", "reinforce_count",
+    )
+
+
+def q_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    entities, _ = canonicalize_mentions(_mentions(_triples(spark, sf_dir)), CTX)
+    return entities.select("entity_id", "canonical_name", "entity_type", "n_mentions")
+
+
+def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = project_edges(_classified(spark, sf_dir))
+    return edges.select(
+        "source_id", "target_id", "edge_type", "confidence", "description",
+        F.size("source_prop_ids").cast("long").alias("n_props"), "edge_ref",
+    )
+
+
+def q_projection_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _classified(spark, sf_dir)
+    return c.groupBy(F.coalesce("reason", F.lit("PROJECTED")).alias("outcome")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_incremental_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triggered_windows(_transcripts(spark, sf_dir), None)
+
+
+# --- training-data pipeline queries (documents / embeddings) ----------------------
+
+
+def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs).select("canon_hash", "n_docs", "keep_id")
+
+
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        lang_id(F.col("text")).alias("lang_guess"),
+        quality_score(F.col("text")).alias("quality"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+def q_doc_ngram_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, threshold=0.5)
+
+
+def q_doc_minhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs)
+
+
+def q_doc_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_dups(docs, max_hamming=3)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(queries, emb, k=5).select("query_id", "vec_id", "rank")
+
+
+# --- driver contract ---------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG construction on sf0.001 -> edges."""
+    return q_kg_edges(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "turn_assembly": q_turn_assembly,
+        "extraction": q_extraction,
+        "propositions": q_propositions,
+        "entities": q_entities,
+        "kg_edges": q_kg_edges,
+        "projection_lineage": q_projection_lineage,
+        "incremental_trigger": q_incremental_trigger,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_stats": q_doc_stats,
+        "doc_ngram_dups": q_doc_ngram_dups,
+        "doc_minhash_dups": q_doc_minhash_dups,
+        "doc_simhash_dups": q_doc_simhash_dups,
+        "ann_topk": q_ann_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "turn_assembly": oracle.q_turn_assembly(),
+        "extraction": oracle.q_extraction(),
+        "propositions": oracle.q_propositions(),
+        "entities": oracle.q_entities(),
+        "kg_edges": oracle.q_edges(),
+        "projection_lineage": oracle.q_projection_lineage(),
+        "incremental_trigger": oracle.q_incremental_trigger(),
+        "doc_exact_dedup": oracle_docs.q_doc_exact_dedup(),
+        "doc_stats": oracle_docs.q_doc_stats(),
+        "doc_ngram_dups": oracle_docs.q_doc_ngram_dups(),
+        "doc_minhash_dups": oracle_docs.q_doc_minhash_dups(),
+        "ann_topk": oracle_docs.q_ann_topk(),
+        # doc_simhash_dups is rows-only: simhash64 builds on xxhash64, which
+        # DuckDB cannot reproduce.
+    }

@@ -95,12 +95,14 @@ def minhash_signature(text: Column, n_hashes: int = 16, n: int = 3) -> Column:
     unlike murmur3 — chosen so the oracle can recompute signatures exactly.
     """
     sh = shingles(text, n)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s))))
-            for i in range(n_hashes)
-        ]
-    )
+
+    def salted(i: int):
+        prefix = f"{i}|"
+        # single-arg lambda: a two-parameter callable would make transform
+        # bind the second parameter to the array index column
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    return F.array(*[F.array_min(F.transform(sh, salted(i))) for i in range(n_hashes)])
 
 
 def minhash_lsh_pairs(
@@ -155,14 +157,13 @@ def simhash64(text: Column) -> Column:
     """
     tokens = F.split(canonicalize_text(text), " ")
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    def vote(b: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
     bit_votes = [
-        F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h, b=b: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        for b in range(64)
+        F.aggregate(hashes, F.lit(0).cast("long"), vote(b)) for b in range(64)
     ]
     out = F.lit(0).cast("long")
     for b, v in enumerate(bit_votes):

@@ -1,0 +1,141 @@
+"""DuckDB oracle SQL for the training-data pipeline queries
+(documents / embeddings tables). Counterparts of dice_spark/operators/dedup.py,
+functions/textstats.py, operators/similarity.py — kept in lockstep."""
+
+from __future__ import annotations
+
+from dice_spark.functions.textfns import duckdb_canonicalize_text_sql
+from dice_spark.functions.textstats import LANG_STOPWORDS
+
+CANON = duckdb_canonicalize_text_sql("text")
+TOKS = "str_split(" + CANON + ", ' ')"
+
+
+def _stop_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]) + "]"
+
+
+def _hits(lang: str) -> str:
+    return f"len(list_filter(toks, t -> list_contains({_stop_list(lang)}, t)))"
+
+
+def q_doc_exact_dedup() -> str:
+    return f"""
+SELECT md5({CANON}) AS canon_hash,
+       count(*) AS n_docs,
+       min(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_stats() -> str:
+    langs = list(LANG_STOPWORDS)  # dict order = Spark tie-break priority
+    lang_case = "case "
+    for i, lg in enumerate(langs):
+        conds = [f"h_{lg} >= h_{other}" for other in langs[i + 1 :]]
+        conds.append(f"h_{lg} > 0")
+        lang_case += f"when {' and '.join(conds)} then '{lg}' "
+    lang_case += "else 'und' end"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, str_split({CANON}, ' ') AS toks FROM documents
+),
+hits AS (
+  SELECT *, {', '.join(f'{_hits(lg)} AS h_{lg}' for lg in langs)}
+  FROM base
+),
+scored AS (
+  SELECT doc_id, text, toks, {lang_case} AS lang_guess,
+         len(toks) AS n_tokens,
+         length(text) AS n_chars,
+         h_en
+  FROM hits
+)
+SELECT doc_id,
+       n_tokens,
+       lang_guess,
+       round(
+         0.25 * (case when n_tokens >= 5 and n_tokens <= 100000 then 1.0 else 0.0 end)
+       + 0.25 * (case when n_chars / greatest(n_tokens, 1) >= 3
+                       and n_chars / greatest(n_tokens, 1) <= 12 then 1.0 else 0.0 end)
+       + 0.25 * least(h_en * 4.0 / greatest(n_tokens, 1), 1.0)
+       + 0.25 * (len(regexp_extract_all(text, '[A-Za-z]')) / greatest(n_chars, 1))
+       , 6) AS quality,
+       list_min([
+         md5(array_to_string(toks[i:i+7], ' '))
+         for i in range(1, greatest(len(toks) - 7, 1) + 1)
+       ]) AS fp
+FROM scored
+"""
+
+
+def _shingles(tok_expr: str, n: int = 3) -> str:
+    return (
+        f"list_distinct([array_to_string({tok_expr}[i:i+{n-1}], ' ') "
+        f"for i in range(1, greatest(len({tok_expr}) - {n - 1}, 1) + 1)])"
+    )
+
+
+def q_doc_ngram_dups(threshold: float = 0.5, n: int = 3) -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_shingles(TOKS, n)} AS sh
+  FROM documents
+),
+sized AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh),
+inv AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM sized),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS inter
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, round(inter / (na + nb - inter), 6) AS jaccard
+FROM inter WHERE round(inter / (na + nb - inter), 6) >= {threshold}
+"""
+
+
+def q_doc_minhash_dups(n_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
+    rows = n_hashes // bands
+    sig_items = ", ".join(
+        f"list_min([md5('{i}|' || s) for s in sh])" for i in range(n_hashes)
+    )
+    band_structs = ", ".join(
+        "{'band': %d, 'key': md5(%s)}"
+        % (bi, " || '|' || ".join(f"sig[{bi * rows + r + 1}]" for r in range(rows)))
+        for bi in range(bands)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_shingles(TOKS, n)} AS sh
+  FROM documents
+),
+sig AS (SELECT doc_id, [{sig_items}] AS sig FROM sh),
+banded AS (
+  SELECT doc_id, unnest([{band_structs}], recursive := true)
+  FROM sig
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands_matched
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q_ann_topk(k: int = 5, max_query_id: int = 10) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {max_query_id}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qv, e.v) AS cosine
+  FROM q JOIN e ON q.query_id <> e.vec_id
+)
+SELECT query_id, vec_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
