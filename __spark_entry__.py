@@ -58,7 +58,7 @@ def _mentions(triples: DataFrame) -> DataFrame:
 
 
 def _classified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    triples = _triples(spark, sf_dir)
+    triples = _triples(spark, sf_dir).localCheckpoint(eager=False)
     props = triples_to_propositions(triples, CTX)
     _, mapping = canonicalize_mentions(_mentions(triples), CTX)
     subj_map = mapping.select(

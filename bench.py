@@ -1,0 +1,92 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "kg_pipeline_turns_per_sec", "value": N, "unit": "sec", ...,
+   "queries": {name: seconds}, "sf": ..., "turns": T, "cores": C}
+
+The headline metric is triple-emission throughput (turns/sec) for the full
+KG-construction pipeline (assembly -> extraction UDF -> canonicalization ->
+edge emission), per BASELINE.json. Scaling-efficiency evidence (same job at
+two parallelism levels) is produced by tools/scaling.py and recorded in
+BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from dice_spark.session import get_spark
+
+    spark = get_spark(
+        "dice-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+        extra_conf={"spark.sql.autoBroadcastJoinThreshold": "32MB"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    from dice_spark.synth import transcripts_from_events
+
+    transcripts = transcripts_from_events(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).localCheckpoint(eager=True)
+    n_turns = transcripts.count()
+
+    # Headline: full KG pipeline, transcripts -> materialized edges.
+    from dice_spark.pipeline import run_pipeline
+
+    t0 = time.time()
+    out = run_pipeline(transcripts, context_id="bench", use_udf_extractor=True)
+    n_edges = out["edges"].count()
+    pipeline_sec = round(time.time() - t0, 3)
+    timings["kg_pipeline"] = pipeline_sec
+
+    # Per-operator timings (each includes its own scan; counts force execution).
+    timed("turn_assembly", lambda: entry.q_turn_assembly(spark, sf_dir).count())
+    timed("extraction", lambda: entry.q_extraction(spark, sf_dir).count())
+    timed("propositions", lambda: entry.q_propositions(spark, sf_dir).count())
+    timed("entities", lambda: entry.q_entities(spark, sf_dir).count())
+    timed("doc_exact_dedup", lambda: entry.q_doc_exact_dedup(spark, sf_dir).count())
+    timed("doc_stats", lambda: entry.q_doc_stats(spark, sf_dir).count())
+    timed("doc_ngram_dups", lambda: entry.q_doc_ngram_dups(spark, sf_dir).count())
+    timed("doc_minhash_dups", lambda: entry.q_doc_minhash_dups(spark, sf_dir).count())
+    timed("doc_simhash_dups", lambda: entry.q_doc_simhash_dups(spark, sf_dir).count())
+    timed("ann_topk", lambda: entry.q_ann_topk(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "turns": n_turns,
+        "edges": n_edges,
+        "cores": cpus,
+        "turns_per_sec": round(n_turns / pipeline_sec, 1),
+    }
+    print(json.dumps(result))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

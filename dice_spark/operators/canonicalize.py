@@ -189,8 +189,13 @@ def canonical_entities(nodes: DataFrame, components: DataFrame) -> DataFrame:
 
 
 def canonicalize_mentions(mentions: DataFrame, context_id: str, span_col: str = "span", type_col: str = "entity_type") -> tuple[DataFrame, DataFrame]:
-    """Full canonicalization: mentions -> (entities, mention->entity mapping)."""
-    nodes = mention_nodes(mentions, context_id, span_col, type_col)
+    """Full canonicalization: mentions -> (entities, mention->entity mapping).
+
+    nodes is materialized once (it is the distinct surface-form vocabulary —
+    tiny relative to mentions) because edge generation, the CC loop, entity
+    aggregation, and the mapping all re-read it.
+    """
+    nodes = mention_nodes(mentions, context_id, span_col, type_col).localCheckpoint(eager=True)
     comps = connected_components(nodes, match_edges(nodes))
     entities = canonical_entities(nodes, comps)
     mapping = nodes.join(comps, "node_id").select(

@@ -43,14 +43,63 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingle array over canonicalized text (distinct)."""
-    words = F.split(canonicalize_text(text), " ")
+def shingles_from_words(words: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array from a words array (distinct).
+
+    Pass a MATERIALIZED words column (projected in a child select), not the
+    split-of-canonicalize expression: higher-order lambdas re-evaluate
+    captured child expressions per element, so an inline regex chain would
+    re-run once per shingle.
+    """
     k = F.greatest(F.size(words) - (n - 1), F.lit(1))
     idx = F.sequence(F.lit(0), k - 1)
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
     )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array over canonicalized text (distinct).
+
+    Convenience form for small inputs/tests; hot paths go through
+    shingle_rows (words materialized first)."""
+    return shingles_from_words(F.split(canonicalize_text(text), " "), n)
+
+
+def shingle_rows(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_sh, shingle) exploded distinct shingle relation.
+
+    Built from posexplode + window lead()s — pure whole-stage-codegen
+    operators, ~30x faster than evaluating the array-of-shingles expression
+    (interpreted higher-order lambdas cost ~ms per row). Same shingle set as
+    ``shingles()``: full n-gram windows, or the whole (short) text when the
+    doc has fewer than n words. Repartitions by id first: small parquet scans
+    arrive as one partition and shingling is the CPU-heavy step.
+    """
+    from pyspark.sql.window import Window
+
+    words = docs.repartition(F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(canonicalize_text(text_col), " ")).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("w", j).over(win) for j in range(1, n)]
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    sh = (
+        words.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", F.col("w"), *leads).alias("shingle"),  # concat_ws skips nulls
+            leads[-1].isNotNull().alias("full"),
+            cnt.alias("n_words"),
+        )
+        .filter(F.col("full") | ((F.col("pos") == 0) & (F.col("n_words") < n)))
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+    return sh.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("int")
+    ).select("doc_id", "n_sh", "shingle")
 
 
 def ngram_jaccard_pairs(
@@ -65,10 +114,8 @@ def ngram_jaccard_pairs(
     Pairs share >= 1 shingle by construction; Jaccard computed from exact
     shingle-set sizes: J = |inter| / (|a| + |b| - |inter|).
     """
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"), shingles(F.col(text_col), n).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-    inv = sh.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    # Materialize once: both sides of the self-join read the same relation.
+    inv = shingle_rows(docs, n, text_col, id_col).localCheckpoint(eager=False)
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -105,6 +152,31 @@ def minhash_signature(text: Column, n_hashes: int = 16, n: int = 3) -> Column:
     return F.array(*[F.array_min(F.transform(sh, salted(i))) for i in range(n_hashes)])
 
 
+def minhash_signatures_df(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, h0..h{n_hashes-1}) via explode + groupBy-min.
+
+    The aggregation form computes each shingle's md5 exactly once per seed —
+    the array-expression form (minhash_signature) re-evaluates the shingle
+    array per seed inside one projection, which is quadratic work per row.
+    This is also the shape that scales: the explode spreads hashing across
+    the cluster and the partial min combines map-side.
+    """
+    exploded = shingle_rows(docs, n, text_col, id_col).drop("n_sh")
+    hashed = exploded.select(
+        "doc_id",
+        *[F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))).alias(f"mh{i}") for i in range(n_hashes)],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"mh{i}").alias(f"h{i}") for i in range(n_hashes)]
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n_hashes: int = 16,
@@ -119,9 +191,7 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, n_bands_matched).
     """
     rows = n_hashes // bands
-    sig = docs.select(
-        F.col(id_col).alias("doc_id"), minhash_signature(F.col(text_col), n_hashes, n).alias("sig")
-    )
+    sig = minhash_signatures_df(docs, n_hashes, n, text_col, id_col)
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -129,13 +199,13 @@ def minhash_lsh_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.md5(F.concat_ws("|", *[F.col("sig")[bi * rows + r] for r in range(rows)])).alias("key"),
+                        F.md5(F.concat_ws("|", *[F.col(f"h{bi * rows + r}") for r in range(rows)])).alias("key"),
                     )
                     for bi in range(bands)
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")).localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -171,13 +241,44 @@ def simhash64(text: Column) -> Column:
     return out
 
 
+def simhash64_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sh) SimHash via explode + groupBy bit-vote sums.
+
+    Aggregation form of simhash64 (same values): one xxhash64 per token, 64
+    conditional sums combined map-side — the expression form folds the token
+    array 64 times per row inside a single projection.
+    """
+    toks = (
+        docs.repartition(F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(canonicalize_text(text_col), " ")).alias("tok"),
+        )
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    out = F.lit(0).cast("long")
+    for b in range(64):
+        out = out + F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select("doc_id", out.alias("sh"))
+
+
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= max_hamming.
 
     Blocked on 16-bit quarters (pigeonhole: distance <= 3 implies at least one
     of 4 quarters identical) — never a cross join.
     """
-    sh = docs.select(F.col(id_col).alias("doc_id"), simhash64(F.col(text_col)).alias("sh"))
+    sh = simhash64_df(docs, text_col, id_col)
     quarters = sh.select(
         "doc_id",
         "sh",
@@ -192,7 +293,7 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3, text_col: str = "te
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "sh", F.col("b.q").alias("q"), F.col("b.qk").alias("qk"))
+    ).select("doc_id", "sh", F.col("b.q").alias("q"), F.col("b.qk").alias("qk")).localCheckpoint(eager=False)
     a, b = quarters.alias("a"), quarters.alias("b")
     xor = F.col("a.sh").bitwiseXOR(F.col("b.sh"))
     hamming = F.bit_count(xor)

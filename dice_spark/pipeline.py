@@ -63,6 +63,9 @@ def run_pipeline(
         triples = extract_triples_udf(turns, conf_overrides)
     else:
         triples = extract_triples(turns, relations, conf_overrides)
+    # Extraction feeds both the mention/canonicalization branch and the
+    # proposition branch — materialize once (lazy: first action computes it).
+    triples = triples.localCheckpoint(eager=False)
 
     mentions = triples.select(
         F.col("subj_span").alias("span"), F.col("subj_type").alias("entity_type")
