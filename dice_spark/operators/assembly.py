@@ -84,6 +84,7 @@ def split_turns(chunks: DataFrame) -> DataFrame:
     Used by extraction (each line is "role: text") and by the per-turn
     text-equality invariant test.
     """
+    role = F.substring_index(F.col("line"), ": ", 1)
     return chunks.select(
         "chunk_id",
         "conv_id",
@@ -93,6 +94,8 @@ def split_turns(chunks: DataFrame) -> DataFrame:
         "chunk_id",
         "conv_id",
         (F.col("window_start") + F.col("line_idx")).cast("int").alias("turn_idx"),
-        F.regexp_extract("line", r"^(\w+): (.*)$", 1).alias("role"),
-        F.regexp_extract("line", r"^(\w+): (.*)$", 2).alias("text"),
+        role.alias("role"),
+        # everything after the first ": " (substring ops, not regex — this
+        # runs once per turn at 10^12-turn scale)
+        F.expr("substring(line, length(substring_index(line, ': ', 1)) + 3)").alias("text"),
     )

@@ -43,12 +43,20 @@ def mention_nodes(mentions: DataFrame, context_id: str, span_col: str = "span", 
     node_id is content-derived (deterministic across reruns and parallelism
     levels — SURVEY.md §2.5 "new-entity minting").
     """
-    prepared = mentions.select(
-        F.col(span_col).alias("span"),
-        F.col(type_col).alias("entity_type"),
-        normalize_name(span_col).alias("norm_name"),
-        norm_key(span_col).alias("norm_key"),
-        F.lower(F.col(type_col)).alias("type_key"),
+    # Aggregate raw surface forms FIRST: the normalize regex chain then runs
+    # once per distinct (span, type) — vocabulary cardinality — instead of
+    # once per mention occurrence (10^12 at design scale). Mirrors the
+    # reference's MentionKey dedup-before-resolution.
+    counted = mentions.groupBy(
+        F.col(span_col).alias("span"), F.col(type_col).alias("entity_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    prepared = counted.select(
+        "span",
+        "entity_type",
+        "n",
+        normalize_name("span").alias("norm_name"),
+        norm_key("span").alias("norm_key"),
+        F.lower(F.col("entity_type")).alias("type_key"),
     )
     return (
         prepared.groupBy("type_key", "norm_key")
@@ -56,7 +64,7 @@ def mention_nodes(mentions: DataFrame, context_id: str, span_col: str = "span", 
             F.first("entity_type").alias("entity_type"),
             F.array_sort(F.collect_set("span")).alias("surface_forms"),
             F.array_sort(F.collect_set("norm_name")).alias("norm_names"),
-            F.count(F.lit(1)).alias("n_mentions"),
+            F.sum("n").alias("n_mentions"),
         )
         .withColumn("node_id", mint_entity_id(F.lit(context_id), "type_key", "norm_key"))
     )
@@ -122,11 +130,12 @@ def connected_components(
         .unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .localCheckpoint(eager=True)
     )
-    labels = (
-        nodes.select(F.col(node_col).alias("id"))
-        .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
-    )
+    labels = nodes.select(F.col(node_col).alias("id")).withColumn("component", F.col("id"))
+    if sym.limit(1).count() == 0:
+        # No similarity edges: every node is its own component. Skipping the
+        # loop saves ~10 scheduler round-trips of fixed cost per run.
+        return labels.withColumnRenamed("id", node_col)
+    labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym.a == labels.id, "inner")

@@ -25,7 +25,6 @@ Arrow batches (spark.sql.execution.arrow.maxRecordsPerBatch) per partition.
 
 from __future__ import annotations
 
-import re
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -160,17 +159,25 @@ def extract_triples_udf(turns: DataFrame, conf_overrides: dict | None = None) ->
             for prio, (pred, _st, _ot) in enumerate(relations):
                 if not unmatched.any():
                     break
-                pat = re.compile(r"^(.*?)" + re.escape(pred) + r"(.*)$", re.IGNORECASE | re.DOTALL)
-                ext = s.loc[unmatched, "sentence"].str.extract(pat)
-                hit = ext[0].notna()
-                idx = ext.index[hit]
+                # substring detection via str.find (C fast path); span split
+                # by direct slicing on the hit rows only — ~10x cheaper than
+                # a lazy-group regex per relation at 10^7 sentences/batch set.
+                pos = low.loc[unmatched].str.find(pred)
+                idx = pos.index[pos >= 0]
                 if len(idx) == 0:
                     continue
+                plen = len(pred)
+                subs, objs = [], []
+                for sent, p in zip(s.loc[idx, "sentence"], pos.loc[idx]):
+                    subs.append(sent[:p].strip())
+                    tail = sent[p + plen :].strip()
+                    if tail.endswith("."):
+                        tail = tail[:-1].strip()
+                    objs.append(tail)
                 s.loc[idx, "predicate"] = pred
                 s.loc[idx, "priority"] = prio
-                s.loc[idx, "subj_span"] = ext.loc[idx, 0].str.strip()
-                obj = ext.loc[idx, 1].str.strip().str.replace(r"\.$", "", regex=True).str.strip()
-                s.loc[idx, "obj_span"] = obj
+                s.loc[idx, "subj_span"] = subs
+                s.loc[idx, "obj_span"] = objs
                 unmatched.loc[idx] = False
             s = s[~unmatched]
             if len(s) == 0:

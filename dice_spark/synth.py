@@ -26,6 +26,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# lpad TRUNCATES ids wider than the pad — 8 digits headroom so replicated /
+# scaled user-id spaces never collapse distinct users into one conversation.
+CONV_PAD = 8
+
 FIRST_NAMES = ["Alice", "Bob", "Carol", "Dana", "Erin", "Frank", "Grace", "Heidi"]
 LAST_NAMES = ["Nguyen", "Smith", "Jones", "Garcia", "Chen", "Patel", "Okafor"]
 ORGS = ["Meridian Labs", "Acme Corp", "Globex", "Initech", "Umbrella Group", "Stark Industries"]
@@ -85,7 +89,7 @@ def transcripts_from_events(events: DataFrame) -> DataFrame:
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return events.select(
-        F.concat(F.lit("conv-"), F.lpad(uid.cast("string"), 4, "0")).alias("conv_id"),
+        F.concat(F.lit("conv-"), F.lpad(uid.cast("string"), CONV_PAD, "0")).alias("conv_id"),
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.when(F.col("event_type").isin("click", "purchase", "signup"), "user")
         .when(F.col("event_type") == "error", "tool")
@@ -118,7 +122,7 @@ def transcripts_cte(events_rel: str = "events") -> str:
     )
     return f"""
 SELECT
-  'conv-' || lpad(cast(user_id as varchar), 4, '0') AS conv_id,
+  'conv-' || lpad(cast(user_id as varchar), {CONV_PAD}, '0') AS conv_id,
   cast(row_number() over (partition by user_id order by ts, event_id) - 1 as int) AS turn_idx,
   case when event_type in ('click','purchase','signup') then 'user'
        when event_type = 'error' then 'tool' else 'assistant' end AS role,

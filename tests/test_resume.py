@@ -1,0 +1,84 @@
+"""Resumability: checkpoint anti-join + MERGE idempotency (SURVEY.md §2.1/§5).
+
+Simulates a kill between stages: first run processes a prefix of conversations
+and records processed_chunks; the rerun over the full input must (a) skip
+already-claimed windows, (b) produce no duplicate triples after MERGE.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from dice_spark.operators.assembly import assemble_windows
+from dice_spark.pipeline import run_pipeline
+from dice_spark.schemas import TRANSCRIPTS
+from dice_spark.storage import Warehouse
+
+
+def _transcripts(spark, convs=4, turns=6):
+    rows = []
+    for c in range(convs):
+        for t in range(turns):
+            rows.append(
+                (f"conv-{c}", t, "user", f"Agent {c} works with Project Alpha{t}.", None,
+                 datetime(2026, 1, 1, c, t, tzinfo=timezone.utc))
+            )
+    return spark.createDataFrame(rows, TRANSCRIPTS)
+
+
+def test_resume_skips_processed_and_is_idempotent(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "wh"), spark)
+    full = _transcripts(spark)
+
+    # Run 1: only the first two conversations reach the pipeline (the "crash"
+    # happens before the rest are processed).
+    part1 = full.filter(F.col("conv_id").isin("conv-0", "conv-1"))
+    out1 = run_pipeline(part1, context_id="resume")
+    wh.merge("edges", out1["edges"], keys=["edge_ref"])
+    chunks1 = out1["chunks"].select(
+        F.lit("resume").alias("context_id"), "conv_id", "window_start", "window_end",
+        "content_hash", F.current_timestamp().alias("processed_at"),
+    )
+    wh.merge("processed_chunks", chunks1, keys=["conv_id", "content_hash"])
+    n_edges_1 = wh.read("edges").count()
+    assert n_edges_1 > 0
+
+    # Run 2: full input, resuming against the checkpoint table.
+    processed = wh.read("processed_chunks")
+    out2 = run_pipeline(full, context_id="resume", processed_chunks=processed)
+    # claimed windows are skipped -> only conv-2/conv-3 chunks remain
+    remaining_convs = {r["conv_id"] for r in out2["chunks"].select("conv_id").distinct().collect()}
+    assert remaining_convs == {"conv-2", "conv-3"}
+
+    wh.merge("edges", out2["edges"], keys=["edge_ref"])
+    wh.merge(
+        "processed_chunks",
+        out2["chunks"].select(
+            F.lit("resume").alias("context_id"), "conv_id", "window_start", "window_end",
+            "content_hash", F.current_timestamp().alias("processed_at"),
+        ),
+        keys=["conv_id", "content_hash"],
+    )
+    edges = wh.read("edges")
+    assert edges.count() == edges.select("edge_ref").distinct().count()
+
+    # Run 3 (full replay): nothing new to process, edge set unchanged.
+    processed = wh.read("processed_chunks")
+    out3 = run_pipeline(full, context_id="resume", processed_chunks=processed)
+    assert out3["chunks"].count() == 0
+    before = edges.count()
+    wh.merge("edges", out3["edges"], keys=["edge_ref"])
+    assert wh.read("edges").count() == before
+
+
+def test_warehouse_merge_semantics(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "wh2"), spark)
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    wh.merge("t", df1, keys=["k"])
+    df2 = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    wh.merge("t", df2, keys=["k"])
+    got = {r["k"]: r["v"] for r in wh.read("t").collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}  # new rows win on key collision
+    assert len(wh.snapshots("t")) == 2

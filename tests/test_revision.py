@@ -1,0 +1,99 @@
+"""Revision arithmetic + fast-path semantics (FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dice_spark.operators.revision import classify_pairs_udf, revise
+
+
+def _props(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "prop_id string, context_id string, text string, confidence double, "
+        "decay double, pinned boolean, status string, reinforce_count int, "
+        "grounding array<string>",
+    )
+
+
+def test_canonical_text_merge(spark):
+    existing = _props(spark, [
+        ("p1", "c", "Claudia Carter has been at Meridian Labs for about 3 years.",
+         0.95, 0.5, False, "ACTIVE", 0, ["g1"]),
+    ])
+    incoming = _props(spark, [
+        ("n1", "c", "Claudia Carter has been at Meridian Labs for about 3 years",
+         0.8, 0.9, False, "ACTIVE", 0, ["g2"]),
+    ])
+    out = {r["prop_id"]: r for r in revise(existing, incoming).collect()}
+    assert len(out) == 1
+    p = out["p1"]
+    assert p["revision_outcome"] == "MERGED"
+    assert abs(p["confidence"] - min(0.95 + 0.3 * 0.8, 0.99)) < 1e-9  # 0.99 cap
+    assert abs(p["decay"] - 0.5 * 0.7) < 1e-9
+    assert p["reinforce_count"] == 1
+    assert sorted(p["grounding"]) == ["g1", "g2"]
+
+
+def test_unrelated_is_new(spark):
+    existing = _props(spark, [("p1", "c", "Alice works with Bob.", 0.9, 0.1, False, "ACTIVE", 0, [])])
+    incoming = _props(spark, [("n1", "c", "Dana founded Initech.", 0.8, 0.2, False, "ACTIVE", 0, [])])
+    out = {r["prop_id"]: r["revision_outcome"] for r in revise(existing, incoming).collect()}
+    assert out == {"p1": "UNCHANGED", "n1": "NEW"}
+
+
+def test_reinforce_and_contradict(spark):
+    existing = _props(spark, [
+        ("p1", "c", "Alice works with Bob at Globex.", 0.8, 0.4, False, "ACTIVE", 2, ["g1"]),
+        ("p2", "c", "Carol leads Project Apollo.", 0.9, 0.2, False, "ACTIVE", 0, []),
+        ("p3", "c", "Dana manages Initech.", 0.9, 0.2, True, "ACTIVE", 0, []),
+    ])
+    incoming = _props(spark, [
+        ("n1", "c", "Alice collaborates with Bob at Globex.", 0.7, 0.5, False, "ACTIVE", 0, ["g2"]),
+        ("n2", "c", "Carol does not lead Project Apollo.", 0.9, 0.1, False, "ACTIVE", 0, []),
+        ("n3", "c", "Dana never manages Initech.", 0.9, 0.1, False, "ACTIVE", 0, []),
+    ])
+    pairs = spark.createDataFrame(
+        [("p1", "n1", "SIMILAR", 0.8), ("p2", "n2", "CONTRADICTORY", 0.9), ("p3", "n3", "CONTRADICTORY", 0.9)],
+        "existing_id string, new_id string, relation string, similarity double",
+    )
+    out = {r["prop_id"]: r for r in revise(existing, incoming, pairs).collect()}
+    r1 = out["p1"]
+    assert r1["revision_outcome"] == "REINFORCED"
+    assert abs(r1["confidence"] - min(0.8 + 0.1 * 0.7, 0.95)) < 1e-9
+    assert abs(r1["decay"] - 0.4 * 0.85) < 1e-9
+    assert r1["reinforce_count"] == 3
+    r2 = out["p2"]
+    assert r2["revision_outcome"] == "CONTRADICTED" and r2["status"] == "CONTRADICTED"
+    assert abs(r2["confidence"] - max(0.9 * 0.3, 0.05)) < 1e-9
+    assert abs(r2["decay"] - min(0.2 + 0.15, 1.0)) < 1e-9
+    # pinned original intact, routed to review
+    r3 = out["p3"]
+    assert r3["revision_outcome"] == "REVIEW" and r3["status"] == "ACTIVE"
+    assert r3["confidence"] == 0.9
+
+
+def test_similar_below_floor_treated_unrelated(spark):
+    existing = _props(spark, [("p1", "c", "Alice works with Bob.", 0.8, 0.4, False, "ACTIVE", 0, [])])
+    incoming = _props(spark, [("n1", "c", "Alice sometimes sees Bob.", 0.7, 0.5, False, "ACTIVE", 0, [])])
+    pairs = spark.createDataFrame(
+        [("p1", "n1", "SIMILAR", 0.5)],
+        "existing_id string, new_id string, relation string, similarity double",
+    )
+    out = {r["prop_id"]: r["revision_outcome"] for r in revise(existing, incoming, pairs).collect()}
+    assert out == {"p1": "UNCHANGED", "n1": "NEW"}
+
+
+def test_classifier_udf_shapes(spark):
+    pairs = spark.createDataFrame(
+        [
+            ("a", "b", "Alice works with Bob.", "Alice works with Bob"),
+            ("a", "c", "Alice works with Bob.", "Alice does not work with Bob."),
+            ("a", "d", "Alice works with Bob.", "Completely different content here."),
+        ],
+        "existing_id string, new_id string, existing_text string, new_text string",
+    )
+    got = {r["new_id"]: r["relation"] for r in classify_pairs_udf(pairs).collect()}
+    assert got["b"] == "IDENTICAL"
+    assert got["c"] == "CONTRADICTORY"
+    assert got["d"] == "UNRELATED"

@@ -1,0 +1,116 @@
+"""Scaling-efficiency measurement: same job, two parallelism levels.
+
+The north rule requires throughput scaling efficiency >= 0.8 between N and 4N
+executors. This sandbox has one machine, so the evidence is the same
+deterministic input run under local[8] and local[32] (fresh JVM each, via
+subprocess), reporting turns/sec at both plus
+efficiency = (tp_high / tp_low) / (cores_high / cores_low).
+
+Input: the sf events table replicated ``--rep`` times with shifted ids
+(deterministic; each replica becomes disjoint conversations), ~10^6 turns at
+sf0.1 rep=10. Timing covers the pipeline from the materialized transcripts
+table to the materialized edges (the triple-emission path).
+
+Usage:
+  python tools/scaling.py                 # orchestrates both levels, prints JSON
+  python tools/scaling.py --single 8      # one measurement (used internally)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# 100 replicas of sf0.1 = 10M turns: large enough that the parallel stages
+# (extraction / assembly / joins) dominate the fixed per-job scheduling cost,
+# which is what a 1000-executor cluster run would look like shape-wise.
+REP = int(os.environ.get("SCALING_REP", "100"))
+LEVELS = (8, 32)
+
+
+def replicated_transcripts(spark, sf_dir: str, rep: int):
+    from pyspark.sql import functions as F
+
+    from dice_spark.synth import transcripts_from_events
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    reps = spark.range(rep).withColumnRenamed("id", "rep")
+    ev = ev.crossJoin(F.broadcast(reps)).select(
+        (F.col("event_id") + F.col("rep") * F.lit(1_000_000_000)).alias("event_id"),
+        F.col("ts"),
+        (F.col("user_id") + F.col("rep") * F.lit(100_000)).alias("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+        F.col("props"),
+    )
+    return transcripts_from_events(ev)
+
+
+def measure(cores: int) -> dict:
+    from dice_spark.pipeline import run_pipeline
+    from dice_spark.session import get_spark
+
+    spark = get_spark(
+        f"scaling-{cores}", master=f"local[{cores}]", shuffle_partitions=max(cores, 16)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    transcripts = replicated_transcripts(spark, SF_DIR, REP).localCheckpoint(eager=True)
+    n_turns = transcripts.count()
+    t0 = time.time()
+    out = run_pipeline(transcripts, context_id="scaling", use_udf_extractor=True)
+    n_edges = out["edges"].count()
+    elapsed = time.time() - t0
+    spark.stop()
+    return {
+        "cores": cores,
+        "turns": n_turns,
+        "edges": n_edges,
+        "pipeline_sec": round(elapsed, 2),
+        "turns_per_sec": round(n_turns / elapsed, 1),
+    }
+
+
+def main() -> int:
+    if "--single" in sys.argv:
+        cores = int(sys.argv[sys.argv.index("--single") + 1])
+        print("RESULT " + json.dumps(measure(cores)))
+        return 0
+    results = {}
+    for cores in LEVELS:
+        env = dict(os.environ, SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single", str(cores)],
+            capture_output=True,
+            text=True,
+            timeout=3600,
+            env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT ")]
+        if not line:
+            print(proc.stdout[-2000:], proc.stderr[-2000:], file=sys.stderr)
+            raise RuntimeError(f"measurement at local[{cores}] failed")
+        results[cores] = json.loads(line[-1][len("RESULT "):])
+    lo, hi = LEVELS
+    eff = (results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]) / (hi / lo)
+    summary = {
+        "metric": "scaling_efficiency",
+        "levels": results,
+        "core_ratio": hi / lo,
+        "throughput_ratio": round(results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"], 3),
+        "efficiency": round(eff, 3),
+        "rep": REP,
+        "sf_dir": SF_DIR,
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
