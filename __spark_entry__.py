@@ -130,6 +130,42 @@ def q_incremental_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triggered_windows(_transcripts(spark, sf_dir), None)
 
 
+def q_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dice_spark.operators.graphquery import two_hop_links
+
+    edges = project_edges(_classified(spark, sf_dir))
+    links = two_hop_links(edges)
+    return links.select(
+        "source", "target", F.array_join("connecting", ",").alias("connecting")
+    )
+
+
+def q_decay_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dice_spark.functions.decay import effective_confidence
+    from dice_spark.operators.sweep import HYSTERESIS_STALE_BELOW
+
+    t = _transcripts(spark, sf_dir)
+    props = t.select(
+        "conv_id",
+        "turn_idx",
+        (F.lit(0.5) + (F.length("text") % 50).cast("double") / 100.0).alias("confidence"),
+        ((F.col("turn_idx") % 10).cast("double") / 10.0).alias("decay"),
+        F.col("ts").alias("content_revised"),
+        F.lit(None).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(None).cast("timestamp").alias("invalidated_at"),
+    )
+    eff = F.round(
+        effective_confidence(as_of=F.to_timestamp(F.lit("2024-12-31 00:00:00"))), 6
+    )
+    return props.select(
+        "conv_id",
+        "turn_idx",
+        eff.alias("eff_conf"),
+        F.when(eff < HYSTERESIS_STALE_BELOW, "STALE").otherwise("ACTIVE").alias("status"),
+    )
+
+
 # --- training-data pipeline queries (documents / embeddings) ----------------------
 
 
@@ -187,6 +223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": q_kg_edges,
         "projection_lineage": q_projection_lineage,
         "incremental_trigger": q_incremental_trigger,
+        "two_hop_links": q_two_hop,
+        "decay_sweep": q_decay_sweep,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_stats": q_doc_stats,
         "doc_ngram_dups": q_doc_ngram_dups,
@@ -205,6 +243,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges": oracle.q_edges(),
         "projection_lineage": oracle.q_projection_lineage(),
         "incremental_trigger": oracle.q_incremental_trigger(),
+        "two_hop_links": oracle.q_two_hop(),
+        "decay_sweep": oracle.q_decay_sweep(),
         "doc_exact_dedup": oracle_docs.q_doc_exact_dedup(),
         "doc_stats": oracle_docs.q_doc_stats(),
         "doc_ngram_dups": oracle_docs.q_doc_ngram_dups(),

@@ -24,8 +24,9 @@ DECAY_K = 2.0  # GUM-paper default multiplier (Proposition.kt:310)
 
 def _age_days(anchor: Column, as_of: Column) -> Column:
     # Duration.between().toDays() truncation: whole seconds / 86400, floored
-    # toward zero, then clamped to >= 0.
-    secs = as_of.cast("long") - anchor.cast("long")
+    # toward zero, then clamped to >= 0. The intermediate cast("timestamp")
+    # makes this work for TIMESTAMP_NTZ parquet columns too (session tz UTC).
+    secs = as_of.cast("timestamp").cast("long") - anchor.cast("timestamp").cast("long")
     return F.greatest(F.floor(secs / F.lit(86400)).cast("double"), F.lit(0.0))
 
 

@@ -45,21 +45,6 @@ def projection_eligibility_gate() -> Column:
     )
 
 
-def evidence_floor_gate(floors: DataFrame) -> tuple[DataFrame, Column]:
-    """Relation evidence floors: (predicate, min_confidence, demote_to).
-
-    Floor not met -> Demote to the weaker predicate (or review when none).
-    Predicate matching is substring, first-declared wins — including the
-    documented quirk that 'works' matches 'networks'
-    (StandardGates.kt:247-312; common/EvidenceFloor.kt:48-90).
-    """
-    decision = F.when(
-        F.col("floor_min").isNotNull() & (F.col("eff_conf") < F.col("floor_min")),
-        F.when(F.col("demote_to").isNotNull(), F.lit("Demote")).otherwise(F.lit("RouteToReview")),
-    )
-    return floors, decision
-
-
 def apply_gates(
     props: DataFrame,
     min_confidence: float = 0.0,
@@ -80,7 +65,11 @@ def apply_gates(
     if "status" not in p.columns:
         p = p.withColumn("status", F.lit("ACTIVE"))
     if floors is not None:
-        # First-declared floor whose predicate is a substring of the text.
+        # Evidence floors (StandardGates.kt:247-312; EvidenceFloor.kt:48-90):
+        # first-DECLARED floor whose predicate is a substring of the text wins
+        # — including the documented quirk that a 'works with' floor also
+        # catches 'networks with' (substring, not word-boundary, matching).
+        # Floor unmet -> Demote to the declared weaker predicate, or review.
         fl = floors.select(
             F.col("priority").alias("floor_priority"),
             F.col("predicate").alias("floor_pred"),

@@ -285,6 +285,58 @@ FROM classified GROUP BY 1
 """
 
 
+def q_two_hop() -> str:
+    """Indirect 2-hop links over the emitted edges (SemanticLinkDiscoverer)."""
+    return base_ctes() + canonicalization_ctes() + edges_ctes() + """
+, sym_e AS (
+  SELECT source_id AS src, target_id AS dst FROM edges
+  UNION
+  SELECT target_id AS src, source_id AS dst FROM edges
+),
+cand AS (
+  SELECT e1.src AS source, e2.dst AS target, e1.dst AS via
+  FROM sym_e e1 JOIN sym_e e2 ON e1.dst = e2.src
+  WHERE e1.src < e2.dst
+),
+indirect AS (
+  SELECT c.* FROM cand c
+  LEFT JOIN sym_e d ON d.src = c.source AND d.dst = c.target
+  WHERE d.src IS NULL
+)
+SELECT source, target,
+       string_agg(DISTINCT via, ',' ORDER BY via) AS connecting
+FROM indirect GROUP BY source, target
+"""
+
+
+def q_decay_sweep(as_of: str = "2024-12-31 00:00:00") -> str:
+    """Effective confidence + hysteresis status over per-turn facts.
+
+    Each turn is treated as a proposition anchored at its own ts (the decay
+    anchor), using the extraction confidence/decay rules, evaluated at an
+    explicit as_of — never now() (determinism).
+    """
+    return base_ctes() + f""",
+turn_props AS (
+  SELECT t.conv_id, t.turn_idx,
+         0.5 + (length(t.text) % 50) / 100.0 AS confidence,
+         (t.turn_idx % 10) / 10.0 AS decay,
+         t.ts AS content_revised
+  FROM transcripts t
+),
+decayed AS (
+  SELECT conv_id, turn_idx, confidence, decay,
+         round(confidence * exp(-decay * 2.0 *
+           greatest(floor((epoch(timestamp '{as_of}') - epoch(content_revised)) / 86400), 0)), 6)
+           AS eff_conf
+  FROM turn_props
+)
+SELECT conv_id, turn_idx, eff_conf,
+       case when eff_conf < 0.1 then 'STALE' else 'ACTIVE' end AS status
+FROM decayed
+"""
+
+
 def q_incremental_trigger(trigger: int = 4) -> str:
     return base_ctes() + f"""
 SELECT conv_id,

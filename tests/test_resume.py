@@ -35,7 +35,7 @@ def test_resume_skips_processed_and_is_idempotent(spark, tmp_path):
     # Run 1: only the first two conversations reach the pipeline (the "crash"
     # happens before the rest are processed).
     part1 = full.filter(F.col("conv_id").isin("conv-0", "conv-1"))
-    out1 = run_pipeline(part1, context_id="resume")
+    out1 = run_pipeline(part1, context_id="resume", min_confidence=0.5)
     wh.merge("edges", out1["edges"], keys=["edge_ref"])
     chunks1 = out1["chunks"].select(
         F.lit("resume").alias("context_id"), "conv_id", "window_start", "window_end",
@@ -47,7 +47,7 @@ def test_resume_skips_processed_and_is_idempotent(spark, tmp_path):
 
     # Run 2: full input, resuming against the checkpoint table.
     processed = wh.read("processed_chunks")
-    out2 = run_pipeline(full, context_id="resume", processed_chunks=processed)
+    out2 = run_pipeline(full, context_id="resume", processed_chunks=processed, min_confidence=0.5)
     # claimed windows are skipped -> only conv-2/conv-3 chunks remain
     remaining_convs = {r["conv_id"] for r in out2["chunks"].select("conv_id").distinct().collect()}
     assert remaining_convs == {"conv-2", "conv-3"}
@@ -66,7 +66,7 @@ def test_resume_skips_processed_and_is_idempotent(spark, tmp_path):
 
     # Run 3 (full replay): nothing new to process, edge set unchanged.
     processed = wh.read("processed_chunks")
-    out3 = run_pipeline(full, context_id="resume", processed_chunks=processed)
+    out3 = run_pipeline(full, context_id="resume", processed_chunks=processed, min_confidence=0.5)
     assert out3["chunks"].count() == 0
     before = edges.count()
     wh.merge("edges", out3["edges"], keys=["edge_ref"])

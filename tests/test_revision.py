@@ -88,7 +88,7 @@ def test_classifier_udf_shapes(spark):
     pairs = spark.createDataFrame(
         [
             ("a", "b", "Alice works with Bob.", "Alice works with Bob"),
-            ("a", "c", "Alice works with Bob.", "Alice does not work with Bob."),
+            ("a", "c", "Alice works with Bob.", "Alice does not works with Bob."),
             ("a", "d", "Alice works with Bob.", "Completely different content here."),
         ],
         "existing_id string, new_id string, existing_text string, new_text string",
