@@ -249,7 +249,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": oracle_docs.q_doc_stats(),
         "doc_ngram_dups": oracle_docs.q_doc_ngram_dups(),
         "doc_minhash_dups": oracle_docs.q_doc_minhash_dups(),
+        "doc_simhash_dups": oracle_docs.q_doc_simhash_dups(),
         "ann_topk": oracle_docs.q_ann_topk(),
-        # doc_simhash_dups is rows-only: simhash64 builds on xxhash64, which
-        # DuckDB cannot reproduce.
     }

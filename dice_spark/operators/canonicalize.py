@@ -114,7 +114,6 @@ def connected_components(
     edges: DataFrame,
     node_col: str = "node_id",
     max_iter: int = 25,
-    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Min-id label propagation until fixpoint -> (node_id, component).
 
@@ -122,6 +121,11 @@ def connected_components(
     (DuplicateCollectorStrategy.kt:117-146) computes the same partition; label
     propagation is its shuffle-native equivalent. localCheckpoint truncates
     the iterative lineage so plans stay bounded at scale.
+
+    Raises RuntimeError when max_iter rounds pass without convergence —
+    returning partial labels silently would split one true component in two.
+    (Iterations needed = component diameter; name-similarity clusters are
+    shallow, so 25 is generous.)
     """
     # Materialize inputs once — every iteration reads them, and without this
     # each convergence check would recompute the whole upstream pipeline.
@@ -136,6 +140,7 @@ def connected_components(
         # loop saves ~10 scheduler round-trips of fixed cost per run.
         return labels.withColumnRenamed("id", node_col)
     labels = labels.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym.a == labels.id, "inner")
@@ -156,7 +161,13 @@ def connected_components(
         n_changed = new_labels.filter(F.col("changed")).limit(1).count()
         labels = new_labels.drop("changed")
         if n_changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations; "
+            "a component's diameter exceeds max_iter — raise max_iter."
+        )
     return labels.withColumnRenamed("id", node_col)
 
 

@@ -26,18 +26,31 @@ from pyspark.sql import functions as F
 from dice_spark.functions.textfns import canonicalize_text
 
 
+MAX_GROUP_IDS = 100
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of exact duplicates after text canonicalization.
 
-    Returns (canon_hash, n_docs, doc_ids, keep_id) — keep_id = min id survives.
+    Returns (canon_hash, n_docs, doc_ids, keep_id) — keep_id = min id
+    survives. doc_ids is capped at the MAX_GROUP_IDS smallest ids per group
+    (rank-before-collect): an unbounded per-group array would blow executor
+    memory when one canonical text dominates a 100 TB corpus. The window and
+    the groupBy share the canon_hash clustering, so the cap adds no shuffle.
     """
+    from pyspark.sql.window import Window
+
     canon = canonicalize_text(text_col)
+    hashed = docs.select(F.col(id_col).alias("doc_id"), F.md5(canon).alias("canon_hash"))
+    rn = F.row_number().over(Window.partitionBy("canon_hash").orderBy("doc_id"))
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.md5(canon).alias("canon_hash"))
+        hashed.withColumn("_rn", rn)
         .groupBy("canon_hash")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+            F.array_sort(
+                F.collect_list(F.when(F.col("_rn") <= MAX_GROUP_IDS, F.col("doc_id")))
+            ).alias("doc_ids"),
             F.min("doc_id").alias("keep_id"),
         )
     )
@@ -102,20 +115,40 @@ def shingle_rows(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: st
     ).select("doc_id", "n_sh", "shingle")
 
 
+MAX_SHINGLE_DF = 1000
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Candidate pairs with n-gram Jaccard >= threshold via inverted index.
 
     Pairs share >= 1 shingle by construction; Jaccard computed from exact
     shingle-set sizes: J = |inter| / (|a| + |b| - |inter|).
+
+    Stop-shingles (document frequency > max_df) are dropped from BOTH sets
+    before pairing — the inverted-index join costs sum(df^2) per shingle, so
+    one boilerplate shingle shared by 10^6 docs would alone generate 10^12
+    pairs. Jaccard is then computed over the filtered shingle sets (set sizes
+    recomputed after the cap); the DuckDB oracle applies the identical rule.
     """
-    # Materialize once: both sides of the self-join read the same relation.
-    inv = shingle_rows(docs, n, text_col, id_col).localCheckpoint(eager=False)
+    from pyspark.sql.window import Window
+
+    raw = shingle_rows(docs, n, text_col, id_col)
+    dfreq = raw.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    inv = (
+        raw.drop("n_sh")
+        .join(dfreq.filter(F.col("_df") <= max_df).select("shingle"), "shingle")
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")).cast("int"))
+        .select("doc_id", "n_sh", "shingle")
+        # Materialize once: both sides of the self-join read the same relation.
+        .localCheckpoint(eager=False)
+    )
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -219,21 +252,35 @@ def minhash_lsh_pairs(
     )
 
 
+SIMHASH_BITS = 60  # 15 hex chars of md5: fits a signed bigint in Spark AND DuckDB
+SIMHASH_QUARTER = SIMHASH_BITS // 4
+
+
+def token_hash60(tok: Column) -> Column:
+    """Engine-portable 60-bit token hash: first 15 hex chars of md5 as bigint.
+
+    Spark: conv(hex, 16, 10); DuckDB: ('0x' || hex)::bigint — identical values,
+    so the simhash oracle can value-check pairs (same reason minhash_signature
+    uses md5 rather than murmur3/xxhash64).
+    """
+    return F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+
+
 def simhash64(text: Column) -> Column:
-    """64-bit SimHash over token xxhash64 values, as a signed bigint.
+    """60-bit SimHash over md5-derived token hashes, as a signed bigint.
 
     Per bit b: sum(+1 if bit set else -1) over tokens; bit set in the result
     when the sum > 0. Pure column expressions (aggregate over token array).
     """
     tokens = F.split(canonicalize_text(text), " ")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    hashes = F.transform(tokens, lambda t: token_hash60(t))
     def vote(b: int):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
     bit_votes = [
-        F.aggregate(hashes, F.lit(0).cast("long"), vote(b)) for b in range(64)
+        F.aggregate(hashes, F.lit(0).cast("long"), vote(b)) for b in range(SIMHASH_BITS)
     ]
     out = F.lit(0).cast("long")
     for b, v in enumerate(bit_votes):
@@ -244,9 +291,9 @@ def simhash64(text: Column) -> Column:
 def simhash64_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(doc_id, sh) SimHash via explode + groupBy bit-vote sums.
 
-    Aggregation form of simhash64 (same values): one xxhash64 per token, 64
+    Aggregation form of simhash64 (same values): one md5 per token, 60
     conditional sums combined map-side — the expression form folds the token
-    array 64 times per row inside a single projection.
+    array 60 times per row inside a single projection.
     """
     toks = (
         docs.repartition(F.col(id_col))
@@ -254,18 +301,18 @@ def simhash64_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
             F.col(id_col).alias("doc_id"),
             F.explode(F.split(canonicalize_text(text_col), " ")).alias("tok"),
         )
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("h", token_hash60(F.col("tok")))
     )
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"v{b}")
-            for b in range(64)
+            for b in range(SIMHASH_BITS)
         ]
     )
     out = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(SIMHASH_BITS):
         out = out + F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
             F.lit(0).cast("long")
         )
@@ -275,7 +322,7 @@ def simhash64_df(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= max_hamming.
 
-    Blocked on 16-bit quarters (pigeonhole: distance <= 3 implies at least one
+    Blocked on 15-bit quarters (pigeonhole: distance <= 3 implies at least one
     of 4 quarters identical) — never a cross join.
     """
     sh = simhash64_df(docs, text_col, id_col)
@@ -287,7 +334,9 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3, text_col: str = "te
                 *[
                     F.struct(
                         F.lit(q).alias("q"),
-                        F.shiftright(F.col("sh"), q * 16).bitwiseAND(F.lit(0xFFFF)).alias("qk"),
+                        F.shiftright(F.col("sh"), q * SIMHASH_QUARTER)
+                        .bitwiseAND(F.lit((1 << SIMHASH_QUARTER) - 1))
+                        .alias("qk"),
                     )
                     for q in range(4)
                 ]
@@ -312,6 +361,28 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3, text_col: str = "te
     )
 
 
+def hyperplane_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH bucketing."""
+    import random
+
+    rnd = random.Random(seed)
+    return [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit LSH bucket string of ``vec`` against literal hyperplanes."""
+    bits = []
+    for p in planes:
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with(vec, lit, lambda a, b: (a * b).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
 def cosine_expr(a: Column, b: Column) -> Column:
     """Cosine similarity of two float-array columns via zip_with/aggregate."""
     dot = F.aggregate(
@@ -328,15 +399,25 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = "label",
+    dim: int | None = None,
+    n_planes: int = 6,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked.
 
     Default blocking reuses a coarse partition column (e.g. cluster label from
-    an upstream IVF/k-means assignment); falls back to sign-of-first-component
-    blocking. Exact cosine only within blocks.
+    an upstream IVF/k-means assignment); falls back to multi-bit hyperplane
+    sign-LSH buckets (2^n_planes blocks — a single sign split would leave
+    ~N^2/4 pairs). Exact cosine only within blocks. The fallback needs ``dim``.
     """
+    if block_col is None:
+        if dim is None:
+            raise ValueError("hyperplane fallback blocking requires dim")
+        blk = hyperplane_bucket(F.col(vec_col), hyperplane_planes(dim, n_planes, seed))
+    else:
+        blk = F.col(block_col)
     e = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
-                          (F.col(block_col) if block_col else F.signum(F.col(vec_col)[0])).alias("blk"))
+                          blk.alias("blk"))
     a, b = e.alias("a"), e.alias("b")
     sim = cosine_expr(F.col("a.vec"), F.col("b.vec"))
     return (

@@ -76,13 +76,16 @@ def path_between(edges: DataFrame, from_id: str, to_id: str, max_depth: int = MA
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
         found = nxt.filter(F.col("entity_id") == to_id).limit(1).count() > 0
-    lookup = {r["entity_id"]: r["pred"] for r in visited.collect()}
-    if to_id not in lookup:
-        return None
+    # Backtrack with <= max_depth single-row filters against the (distributed)
+    # predecessor table — driver payload stays O(path length), never the whole
+    # visited frontier (which approaches |V| on a dense graph at depth 5).
     path, cur = [], to_id
     while cur is not None:
+        step = visited.filter(F.col("entity_id") == cur).select("pred").take(1)
+        if not step:
+            return None
         path.append(cur)
-        cur = lookup[cur]
+        cur = step[0]["pred"]
     return list(reversed(path))
 
 

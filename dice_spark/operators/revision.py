@@ -185,14 +185,26 @@ def revise(existing: DataFrame, incoming: DataFrame, classified_pairs: DataFrame
 
 def entity_overlap_prefilter(candidate_pairs: DataFrame, mentions_a: DataFrame, mentions_b: DataFrame) -> DataFrame:
     """Semi-join pre-filter: keep only pairs sharing >= 1 resolved entity
-    (fallback: case-insensitive span), LlmPropositionReviser.kt:344-363."""
-    a = mentions_a.select(F.col("prop_id").alias("a_id"), F.lower("span").alias("k"), "resolved_id")
-    b = mentions_b.select(F.col("prop_id").alias("b_id"), F.lower("span").alias("k"), F.col("resolved_id").alias("rid2"))
-    shared = a.join(
-        b,
-        (F.col("resolved_id").isNotNull() & (F.col("resolved_id") == F.col("rid2")))
-        | (F.col("k") == b["k"]),
-    ).select("a_id", "b_id").distinct()
+    (fallback: case-insensitive span), LlmPropositionReviser.kt:344-363.
+
+    Two equi-joins (resolved_id, lowered span) unioned — an OR in one join
+    condition cannot hash-partition, so Spark would plan a nested-loop join.
+    """
+    a = mentions_a.select(
+        F.col("prop_id").alias("a_id"), F.lower("span").alias("ka"),
+        F.col("resolved_id").alias("rida"),
+    )
+    b = mentions_b.select(
+        F.col("prop_id").alias("b_id"), F.lower("span").alias("kb"),
+        F.col("resolved_id").alias("ridb"),
+    )
+    by_entity = (
+        a.filter(F.col("rida").isNotNull())
+        .join(b.filter(F.col("ridb").isNotNull()), F.col("rida") == F.col("ridb"))
+        .select("a_id", "b_id")
+    )
+    by_span = a.join(b, F.col("ka") == F.col("kb")).select("a_id", "b_id")
+    shared = by_entity.unionByName(by_span).distinct()
     return candidate_pairs.join(
         shared,
         (candidate_pairs["existing_id"] == shared["a_id"]) & (candidate_pairs["new_id"] == shared["b_id"]),

@@ -121,31 +121,24 @@ def lsh_bucketed_topk(
     dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
-    """Random-hyperplane LSH: bucket = sign bits of dot with seeded planes."""
-    import random
+    """Random-hyperplane LSH: bucket = sign bits of dot with seeded planes.
 
-    rnd = random.Random(seed)
+    ``dim`` comes from the caller or the array metadata — never a driver-side
+    ``corpus.first()`` action inside the operator.
+    """
+    from dice_spark.operators.dedup import hyperplane_bucket, hyperplane_planes
+
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
-    planes = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
-
-    def bucket(vec):
-        bits = []
-        for p in planes:
-            lit = F.array(*[F.lit(float(x)) for x in p])
-            dot = F.aggregate(
-                F.zip_with(vec, lit, lambda a, b: (a * b).cast("double")),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-        return F.concat(*bits)
-
+        raise ValueError(
+            "lsh_bucketed_topk requires the embedding dimension (dim=...); "
+            "inferring it would force a driver-side action on the corpus"
+        )
+    planes = hyperplane_planes(dim, n_planes, seed)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")).withColumn(
-        "bucket", bucket(F.col("qvec"))
+        "bucket", hyperplane_bucket(F.col("qvec"), planes)
     )
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")).withColumn(
-        "bucket", bucket(F.col("cvec"))
+        "bucket", hyperplane_bucket(F.col("cvec"), planes)
     )
     sim = cosine_expr(F.col("qvec"), F.col("cvec"))
     scored = q.join(c, "bucket").filter(F.col("query_id") != F.col("vec_id")).select(

@@ -187,7 +187,7 @@ best_name AS (
 entities AS (
   SELECT l.component AS entity_id, b.canonical_name,
          min(l.entity_type) AS entity_type,
-         sum(l.n_mentions) AS n_mentions
+         cast(sum(l.n_mentions) as bigint) AS n_mentions
   FROM labeled l JOIN best_name b ON b.component = l.component
   GROUP BY l.component, b.canonical_name
 ),

@@ -76,14 +76,25 @@ def _shingles(tok_expr: str, n: int = 3) -> str:
     )
 
 
-def q_doc_ngram_dups(threshold: float = 0.5, n: int = 3) -> str:
+def q_doc_ngram_dups(threshold: float = 0.5, n: int = 3, max_df: int = 1000) -> str:
+    # max_df mirrors dedup.MAX_SHINGLE_DF: stop-shingles (document frequency
+    # above the cap) are dropped from both sets before pairing, set sizes
+    # recomputed after the cap — in lockstep with ngram_jaccard_pairs.
     return f"""
 WITH sh AS (
   SELECT doc_id, {_shingles(TOKS, n)} AS sh
   FROM documents
 ),
-sized AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh),
-inv AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM sized),
+raw AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+kept AS (
+  SELECT doc_id, shingle FROM raw
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= {max_df}
+),
+inv AS (
+  SELECT doc_id, shingle,
+         cast(count(*) OVER (PARTITION BY doc_id) as int) AS n_sh
+  FROM kept
+),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
          count(*) AS inter
@@ -122,6 +133,38 @@ GROUP BY 1, 2
 """
 
 
+def q_doc_simhash_dups(max_hamming: int = 3) -> str:
+    """SimHash near-dup pairs (counterpart of dedup.simhash_near_dups).
+
+    Same 60-bit md5-derived token hash as the Spark side (token_hash60:
+    '0x' || first-15-hex-of-md5 cast to bigint). The Spark operator blocks on
+    15-bit quarters before filtering hamming <= 3; by pigeonhole, blocked +
+    filtered == all-pairs + filtered, so the oracle can skip the blocking.
+    """
+    bits = 60
+    bit_votes = ", ".join(
+        f"sum(case when (h >> {b}) & 1 = 1 then 1 else -1 end) AS v{b}"
+        for b in range(bits)
+    )
+    sh_expr = " + ".join(
+        f"(case when v{b} > 0 then (1::bigint << {b}) else 0 end)" for b in range(bits)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, ('0x' || substr(md5(t.tok), 1, 15))::bigint AS h
+  FROM documents, unnest(str_split({CANON}, ' ')) AS t(tok)
+),
+votes AS (SELECT doc_id, {bit_votes} FROM toks GROUP BY doc_id),
+sh AS (SELECT doc_id, ({sh_expr})::bigint AS sh FROM votes),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         cast(bit_count(xor(a.sh, b.sh)) as int) AS hamming
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+"""
+
+
 def q_ann_topk(k: int = 5, max_query_id: int = 10) -> str:
     return f"""
 WITH e AS (
@@ -131,7 +174,7 @@ WITH e AS (
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {max_query_id}),
 scored AS (
   SELECT q.query_id, e.vec_id,
-         list_cosine_similarity(q.qv, e.v) AS cosine
+         round(list_cosine_similarity(q.qv, e.v), 6) AS cosine
   FROM q JOIN e ON q.query_id <> e.vec_id
 )
 SELECT query_id, vec_id,

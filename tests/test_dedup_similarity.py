@@ -125,3 +125,28 @@ def test_multimodal_plumbing(spark):
     assert not feats["m3"]["decode_ok"] and feats["m3"]["decode_error"]
     frames = frame_sample_plan(media, every_ms=1000).collect()
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_embedding_near_dups_hyperplane_fallback(spark):
+    from dice_spark.operators.dedup import embedding_near_dups
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near-dup of 1
+        (3, [-1.0, 0.0, 0.0]),     # opposite
+        (4, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dups(emb, threshold=0.95, block_col=None, dim=3).collect()
+    }
+    assert (1, 2) in got and all(a < b for a, b in got)
+
+
+def test_lsh_bucketed_topk_requires_dim(spark):
+    import pytest as _pytest
+
+    emb = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError):
+        lsh_bucketed_topk(emb, emb, n_planes=2, k=1)

@@ -97,3 +97,28 @@ def test_classifier_udf_shapes(spark):
     assert got["b"] == "IDENTICAL"
     assert got["c"] == "CONTRADICTORY"
     assert got["d"] == "UNRELATED"
+
+
+def test_entity_overlap_prefilter(spark):
+    from dice_spark.operators.revision import entity_overlap_prefilter
+
+    pairs = spark.createDataFrame(
+        [("p1", "n1"), ("p2", "n2"), ("p3", "n3")],
+        "existing_id string, new_id string",
+    )
+    mentions_a = spark.createDataFrame(
+        [("p1", "Alice", "e1"), ("p2", "Bob", None), ("p3", "Carol", "e3")],
+        "prop_id string, span string, resolved_id string",
+    )
+    mentions_b = spark.createDataFrame(
+        [("n1", "Alice Smith", "e1"), ("n2", "BOB", None), ("n3", "Dave", "e4")],
+        "prop_id string, span string, resolved_id string",
+    )
+    kept = {(r["existing_id"], r["new_id"]) for r in entity_overlap_prefilter(pairs, mentions_a, mentions_b).collect()}
+    # p1/n1 share resolved entity e1; p2/n2 share the lowered span "bob";
+    # p3/n3 share nothing -> dropped.
+    assert kept == {("p1", "n1"), ("p2", "n2")}
+    # The plan must be hash-join only: an OR-join would appear as
+    # BroadcastNestedLoopJoin / CartesianProduct.
+    plan = entity_overlap_prefilter(pairs, mentions_a, mentions_b)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
