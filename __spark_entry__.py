@@ -99,10 +99,17 @@ def q_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_propositions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    props = triples_to_propositions(_triples(spark, sf_dir), CTX)
+    from dice_spark.operators.provenance import with_provenance_metadata
+
+    chunks = assemble_windows(_transcripts(spark, sf_dir))
+    triples = extract_triples_udf(split_turns(chunks))
+    props = triples_to_propositions(triples, CTX)
+    props = with_provenance_metadata(props, chunks, hash_col="content_hash")
     return props.select(
         "prop_id", "context_id", "text", "predicate", "subj_span", "obj_span",
         "subj_type", "obj_type", "confidence", "decay", "reinforce_count",
+        F.array_join("provenance", ",").alias("provenance_keys"),
+        "authority_tier", "trust_score",
     )
 
 
@@ -166,6 +173,127 @@ def q_decay_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prop_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PropositionQuery surface: 6 filters + EFFECTIVE_CONFIDENCE_DESC + limit
+    (PropositionQuery.kt:46-99 / PropositionStore.matchesFilters:55-84)."""
+    from dice_spark.operators.propquery import PropQuery, apply_prop_query
+
+    tr = _transcripts(spark, sf_dir)
+    triples = _triples(spark, sf_dir).localCheckpoint(eager=False)
+    props = triples_to_propositions(triples, CTX)
+    entities, mapping = canonicalize_mentions(_mentions(triples), CTX)
+    subj_map = mapping.select(
+        F.col("norm_key").alias("_sk"), F.col("type_key").alias("_st"), F.col("resolved_id").alias("subj_id")
+    )
+    obj_map = mapping.select(
+        F.col("norm_key").alias("_ok"), F.col("type_key").alias("_ot"), F.col("resolved_id").alias("obj_id")
+    )
+    props = (
+        props.withColumn("_sk", norm_key("subj_span"))
+        .withColumn("_st", F.lower("subj_type"))
+        .withColumn("_ok", norm_key("obj_span"))
+        .withColumn("_ot", F.lower("obj_type"))
+        .join(subj_map, ["_sk", "_st"], "left")
+        .join(obj_map, ["_ok", "_ot"], "left")
+        .drop("_sk", "_st", "_ok", "_ot")
+    )
+    times = (
+        triples.join(tr.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"])
+        .groupBy(F.col("sentence").alias("text"))
+        .agg(F.min("ts").alias("created"), F.max("ts").alias("last_touched"))
+    )
+    props = (
+        props.join(times, "text")
+        .withColumn("last_accessed", F.col("last_touched"))
+        .withColumn(
+            "importance",
+            F.least(F.lit(0.5) + F.lit(0.1) * F.col("reinforce_count"), F.lit(1.0)),
+        )
+    )
+    prop_entities = (
+        props.select("prop_id", F.col("subj_id").alias("resolved_id"))
+        .unionByName(props.select("prop_id", F.col("obj_id").alias("resolved_id")))
+        .filter(F.col("resolved_id").isNotNull())
+    )
+    project_ents = entities.filter(F.col("canonical_name").startswith("Project ")).select("entity_id")
+    q = PropQuery(
+        context_id=CTX,
+        statuses=["ACTIVE"],
+        pinned=False,
+        created_after="2024-01-01 00:00:00",
+        min_reinforce_count=1,
+        min_effective_confidence=0.05,
+        effective_confidence_as_of="2024-12-31 00:00:00",
+        any_entity_ids=project_ents,
+        order_by="EFFECTIVE_CONFIDENCE_DESC",
+        limit=200,
+    )
+    out = apply_prop_query(props, q, prop_entities)
+    return out.select(
+        "prop_id",
+        "text",
+        "reinforce_count",
+        F.col("created").cast("timestamp").cast("long").alias("created_s"),
+        F.col("last_touched").cast("timestamp").cast("long").alias("touched_s"),
+        "eff_conf",
+    )
+
+
+def q_linking_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Escalation ladder incl. the vector tier + bakeoff seam: per-level
+    counters over word-reversed canonical names (EXACT for single words,
+    VECTOR/BAKEOFF for reordered multi-word names no string tier catches)."""
+    from dice_spark.operators.linking import resolution_counters, resolve_against_entities
+
+    triples = _triples(spark, sf_dir)
+    entities, _ = canonicalize_mentions(_mentions(triples), CTX)
+    registry = entities.select("entity_id", "canonical_name", "entity_type").localCheckpoint(
+        eager=True
+    )
+    # Five deterministic probe variants per entity, each aimed at one tier:
+    # the raw name (EXACT), a title prefix (NORMALIZED strips it), word
+    # reversal (VECTOR — no string tier survives reordering), the last word
+    # alone (PARTIAL when unique), and a one-char append (FUZZY / BAKEOFF).
+    variants = [
+        F.col("canonical_name"),
+        F.concat(F.lit("Dr. "), F.col("canonical_name")),
+        F.array_join(F.reverse(F.split("canonical_name", " ")), " "),
+        F.element_at(F.split("canonical_name", " "), -1),
+        F.concat(F.col("canonical_name"), F.lit("x")),
+    ]
+    probe = (
+        registry.select(
+            F.explode(F.array(*variants)).alias("span"), F.col("entity_type")
+        )
+        .distinct()
+        # Materialized: probe and registry share lineage, and resolving a
+        # relation against its own ancestor trips AQE reused-exchange zips.
+        .localCheckpoint(eager=True)
+    )
+    resolved = resolve_against_entities(probe, registry, vector_tier=True)
+    return resolution_counters(resolved)
+
+
+def q_revision_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch revision: conversations split by user-id parity, odd batch
+    revised against the even 'store' (merge / reinforce / contradict counters,
+    LlmPropositionReviser.kt:666-708,513-550)."""
+    from dice_spark.operators.revision import revise_batch
+
+    tr = _transcripts(spark, sf_dir)
+    parity = F.substring("conv_id", -1, 1).cast("int") % 2
+
+    def props_of(t: DataFrame) -> DataFrame:
+        return triples_to_propositions(
+            extract_triples_udf(split_turns(assemble_windows(t))), CTX
+        )
+
+    out = revise_batch(props_of(tr.filter(parity == 0)), props_of(tr.filter(parity == 1)))
+    return out.groupBy("revision_outcome").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("confidence"), 6).alias("sum_conf")
+    )
+
+
 # --- training-data pipeline queries (documents / embeddings) ----------------------
 
 
@@ -225,6 +353,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_trigger": q_incremental_trigger,
         "two_hop_links": q_two_hop,
         "decay_sweep": q_decay_sweep,
+        "prop_query": q_prop_query,
+        "linking_ladder": q_linking_ladder,
+        "revision_outcomes": q_revision_outcomes,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_stats": q_doc_stats,
         "doc_ngram_dups": q_doc_ngram_dups,
@@ -245,6 +376,9 @@ def oracle_sql() -> dict[str, str]:
         "incremental_trigger": oracle.q_incremental_trigger(),
         "two_hop_links": oracle.q_two_hop(),
         "decay_sweep": oracle.q_decay_sweep(),
+        "prop_query": oracle.q_prop_query(),
+        "linking_ladder": oracle.q_linking_ladder(),
+        "revision_outcomes": oracle.q_revision_outcomes(),
         "doc_exact_dedup": oracle_docs.q_doc_exact_dedup(),
         "doc_stats": oracle_docs.q_doc_stats(),
         "doc_ngram_dups": oracle_docs.q_doc_ngram_dups(),

@@ -46,9 +46,11 @@ def assemble_windows(
             F.when(in_prev, F.array(w0 - 1, w0)).otherwise(F.array(w0))
         ),
     )
-    turns = F.array_sort(
-        F.collect_list(F.struct("turn_idx", "role", "text"))
-    )
+    # MessageFormatter.format (ConversationSource.kt:48-62): "name (role):
+    # content" when the turn carries a sender name, plain "role: text" else.
+    has_name = "name" in transcripts.columns
+    struct_cols = ["turn_idx", "role", "text"] + (["name"] if has_name else [])
+    turns = F.array_sort(F.collect_list(F.struct(*struct_cols)))
     grouped = (
         exploded.groupBy("conv_id", "window_id")
         .agg(
@@ -58,10 +60,15 @@ def assemble_windows(
             F.count(F.lit(1)).cast("int").alias("n_turns"),
         )
     )
-    rendered = F.concat_ws(
-        "\n\n",
-        F.transform(F.col("turns"), lambda s: F.concat(s["role"], F.lit(": "), s["text"])),
-    )
+
+    def render(s):
+        plain = F.concat(s["role"], F.lit(": "), s["text"])
+        if not has_name:
+            return plain
+        named = F.concat(s["name"], F.lit(" ("), s["role"], F.lit("): "), s["text"])
+        return F.when(s["name"].isNotNull() & (F.length(s["name"]) > 0), named).otherwise(plain)
+
+    rendered = F.concat_ws("\n\n", F.transform(F.col("turns"), render))
     return grouped.select(
         F.concat_ws(
             ":",
@@ -81,10 +88,16 @@ def assemble_windows(
 def split_turns(chunks: DataFrame) -> DataFrame:
     """Inverse of the renderer: chunk text -> one row per rendered turn line.
 
-    Used by extraction (each line is "role: text") and by the per-turn
-    text-equality invariant test.
+    Used by extraction (each line is "role: text" or "name (role): text") and
+    by the per-turn text-equality invariant test. The header before the first
+    ": " is "role" or "name (role)"; the role is the parenthesized tail when
+    present.
     """
-    role = F.substring_index(F.col("line"), ": ", 1)
+    header = F.substring_index(F.col("line"), ": ", 1)
+    role = F.when(
+        header.endswith(")") & header.contains(" ("),
+        F.regexp_extract(header, r"\(([^()]*)\)$", 1),
+    ).otherwise(header)
     return chunks.select(
         "chunk_id",
         "conv_id",

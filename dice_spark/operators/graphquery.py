@@ -113,6 +113,15 @@ def two_hop_links(edges: DataFrame) -> DataFrame:
 
 
 def why_explain(props: DataFrame, prop_id: str) -> DataFrame:
-    """Lineage from durable fields (GraphQuery.whyExplain, :139-141,255-271)."""
-    cols = [c for c in ["prop_id", "text", "grounding", "source_ids", "reinforce_count", "status", "confidence", "decay"] if c in props.columns]
+    """Lineage from durable fields (GraphQuery.whyExplain, :139-141,255-271):
+    grounding chunks, provenance locator keys, authority tier and trust."""
+    cols = [
+        c
+        for c in [
+            "prop_id", "text", "grounding", "provenance", "authority_tier",
+            "trust_score", "source_ids", "reinforce_count", "status",
+            "confidence", "decay",
+        ]
+        if c in props.columns
+    ]
     return props.filter(F.col("prop_id") == prop_id).select(*cols)

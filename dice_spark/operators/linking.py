@@ -35,10 +35,82 @@ from pyspark.sql.window import Window
 
 from dice_spark.functions.normalize import norm_key, normalize_name
 
-LEVELS = ["EXACT", "NORMALIZED", "PARTIAL", "FUZZY"]
+LEVELS = ["EXACT", "NORMALIZED", "PARTIAL", "FUZZY", "VECTOR", "BAKEOFF"]
 MIN_PART_LENGTH = 4
 MIN_FUZZY_LENGTH = 4
 MAX_DISTANCE_RATIO = 0.2
+# Vector tier thresholds (VectorCandidateSearcher.kt:39-44): exactly one
+# candidate at/above AUTO_ACCEPT resolves confidently; everything at/above
+# CANDIDATE_FLOOR goes to the bakeoff seam for arbitration.
+AUTO_ACCEPT_COSINE = 0.95
+CANDIDATE_COSINE = 0.7
+BAKEOFF_ACCEPT = 0.8
+
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def char_embedding(key) -> "F.Column":
+    """26-dim letter-count embedding of a (lowercase) name key.
+
+    The deterministic stand-in for the reference's text-embedding vector
+    (VectorCandidateSearcher queries "name summary" against an embedding
+    repository): a unigram count vector is a real — if crude — text embedding,
+    cheap enough to stay in whole-stage codegen (count of c = len - len minus
+    c), and exactly reproducible in the DuckDB oracle. Word-order variants
+    ("Nguyen Alice" vs "Alice Nguyen") land at cosine 1.0, which no
+    string-distance tier catches.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    return F.array(
+        *[
+            (F.length(k) - F.length(F.replace(k, F.lit(c), F.lit("")))).cast("double")
+            for c in _LETTERS
+        ]
+    )
+
+
+def cosine_of_keys(a, b) -> "F.Column":
+    """Cosine similarity of two name keys via their letter-count embeddings."""
+    from dice_spark.operators.dedup import cosine_expr
+
+    return cosine_expr(char_embedding(a), char_embedding(b))
+
+
+def default_bakeoff_scorer(pairs: DataFrame) -> DataFrame:
+    """The batched link-scoring UDF seam (LlmCandidateBakeoff stand-in).
+
+    Input: (span, type_key, m_key, entity_id, e_key) candidate pairs. Output:
+    the same keys + score. A real LLM arbiter replaces the body; the contract
+    — Arrow-batched pairs in, one score per pair out — is the engine seam.
+    The deterministic stand-in recomputes the letter-count cosine in pandas
+    (bit-identical to the Spark/DuckDB expression after rounding to 6).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def counts(s: "pd.Series") -> "np.ndarray":
+        mat = np.zeros((len(s), len(_LETTERS)), dtype="float64")
+        for j, c in enumerate(_LETTERS):
+            mat[:, j] = s.str.count(c).to_numpy(dtype="float64")
+        return mat
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a, b = counts(pdf["m_key"]), counts(pdf["e_key"])
+            dot = (a * b).sum(axis=1)
+            denom = np.sqrt((a * a).sum(axis=1)) * np.sqrt((b * b).sum(axis=1))
+            out = pdf[["span", "type_key", "entity_id"]].copy()
+            with np.errstate(invalid="ignore", divide="ignore"):
+                out["score"] = np.round(dot / denom, 6)
+            yield out
+
+    return pairs.mapInPandas(
+        run, schema="span string, type_key string, entity_id string, score double"
+    )
 
 
 def prepare_mentions(mentions: DataFrame, span_col: str = "span", type_col: str = "entity_type") -> DataFrame:
@@ -63,12 +135,23 @@ def resolve_against_entities(
     mentions: DataFrame,
     entities: DataFrame,
     salt: int = 8,
+    vector_tier: bool = False,
+    bakeoff_scorer=None,
 ) -> DataFrame:
     """Resolve mention surface forms against an existing entity registry.
 
     mentions: (span, entity_type) [+ carried keys]; entities: (entity_id,
     canonical_name, entity_type). Returns mentions + resolved_id (nullable) +
-    resolution_level (EXACT|NORMALIZED|PARTIAL|FUZZY|NO_MATCH).
+    resolution_level (EXACT|NORMALIZED|PARTIAL|FUZZY|VECTOR|BAKEOFF|NO_MATCH).
+
+    vector_tier=True appends the embedding escalation after FUZZY
+    (VectorCandidateSearcher.kt:39-44): exactly one candidate with cosine >=
+    AUTO_ACCEPT_COSINE resolves as VECTOR; otherwise every candidate >=
+    CANDIDATE_COSINE goes to the batched link-scoring UDF seam
+    (``bakeoff_scorer``, default ``default_bakeoff_scorer``) and the best
+    score >= BAKEOFF_ACCEPT resolves as BAKEOFF (entity_id tie-break). Off by
+    default: the reference only adds this searcher when an embedding
+    repository is configured.
     """
     m = prepare_mentions(mentions).alias("m")
     ents = (
@@ -169,9 +252,108 @@ def resolve_against_entities(
         .unionByName(partial.select("span", "type_key", "entity_id", "resolution_level"))
         .unionByName(fuzzy.select("span", "type_key", "entity_id", "resolution_level"))
     )
+
+    if vector_tier:
+        unresolved_4 = unresolved_3.join(
+            fuzzy.select("span", "type_key").distinct(), ["span", "type_key"], "left_anti"
+        ).alias("m")
+        # Candidate generation: cosine of letter-count embeddings, blocked on
+        # type. The registry side is entity vocabulary (not mention volume);
+        # beyond ~10^6 entities per type, pre-bucket both sides with
+        # dedup.hyperplane_bucket so the join key becomes (type, bucket).
+        cos = F.round(cosine_of_keys(F.col("m.norm_key"), F.col("e.e_norm_key")), 6)
+        cand = (
+            unresolved_4.join(ents, F.col("m.type_key") == F.col("e.e_type_key"))
+            .withColumn("_cos", cos)
+            .filter(F.col("_cos") >= CANDIDATE_COSINE)
+            # Cache, not localCheckpoint: both the auto branch and the
+            # bakeoff branch re-read this, but checkpointing this plan under
+            # AQE trips a zip-partition mismatch (SMJ over an RDD that pins a
+            # stale partition count); the columnar cache has no such claim.
+            .cache()
+        )
+        auto = _exactly_one(
+            cand.filter(F.col("_cos") >= AUTO_ACCEPT_COSINE), mention_keys, "VECTOR"
+        ).drop("_cos")
+        resolved = resolved.unionByName(
+            auto.select("span", "type_key", "entity_id", "resolution_level")
+        )
+        # Everything else above the floor goes to the bakeoff seam.
+        to_bakeoff = cand.join(
+            auto.select("span", "type_key").distinct(), ["span", "type_key"], "left_anti"
+        ).select(
+            "span",
+            "type_key",
+            F.col("m.norm_key").alias("m_key"),
+            "entity_id",
+            F.col("e.e_norm_key").alias("e_key"),
+        )
+        scorer = bakeoff_scorer if bakeoff_scorer is not None else default_bakeoff_scorer
+        scored = scorer(to_bakeoff)
+        w = Window.partitionBy("span", "type_key").orderBy(
+            F.desc("score"), F.asc("entity_id")
+        )
+        best = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") == 1) & (F.col("score") >= BAKEOFF_ACCEPT))
+            .select("span", "type_key", "entity_id", F.lit("BAKEOFF").alias("resolution_level"))
+        )
+        resolved = resolved.unionByName(best)
     return m.join(resolved, ["span", "type_key"], "left").withColumn(
         "resolution_level", F.coalesce("resolution_level", F.lit("NO_MATCH"))
     ).withColumnRenamed("entity_id", "resolved_id")
+
+
+def known_entity_fast_path(
+    mentions: DataFrame,
+    known_entities: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """Broadcast fast path against a curated known-entity list
+    (common/resolver/KnownEntityResolver.kt): mentions whose normalized name
+    matches a known entity resolve immediately, everything else delegates to
+    the escalation ladder. The known list is small by definition (head
+    entities like "the user") — broadcast join, zero shuffle on the mention
+    side, which defuses exactly the Zipfian hot key the salted ladder join
+    otherwise has to absorb.
+
+    known_entities: (entity_id, canonical_name, labels array<string>).
+    Returns (resolved, remaining): resolved carries resolved_id and
+    resolution_level KNOWN_REFERENCE (known labels already cover the
+    mention's type — externally managed, nothing to update) or KNOWN_WIDENED
+    (the mention's type widens the known label set, reference merges labels
+    rather than forking a duplicate). A name matching several known entities
+    prefers one whose labels cover the type, then min entity_id — the
+    reference's iteration-order preference made deterministic.
+    """
+    m = prepare_mentions(mentions)
+    k = F.broadcast(
+        known_entities.select(
+            F.col("entity_id").alias("k_id"),
+            norm_key("canonical_name").alias("k_key"),
+            F.transform(F.col("labels"), F.lower).alias("k_labels"),
+        )
+    )
+    cand = m.join(k, m.norm_key == k.k_key, "left")
+    covered = F.array_contains(F.col("k_labels"), F.col("type_key"))
+    w = Window.partitionBy("span", "type_key").orderBy(
+        F.desc(covered.cast("int")), F.asc("k_id")
+    )
+    picked = (
+        cand.filter(F.col("k_id").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn(
+            "resolution_level",
+            F.when(covered, "KNOWN_REFERENCE").otherwise("KNOWN_WIDENED"),
+        )
+        .withColumnRenamed("k_id", "resolved_id")
+        .drop("k_key", "k_labels")
+    )
+    remaining = m.join(
+        picked.select("span", "type_key").distinct(), ["span", "type_key"], "left_anti"
+    )
+    return picked, remaining
 
 
 def resolution_counters(resolved: DataFrame) -> DataFrame:

@@ -103,3 +103,39 @@ def projection_records(classified: DataFrame, run_id: str) -> DataFrame:
         ).alias("target_ref"),
         "reason",
     )
+
+
+TERMINAL_STATUSES = ["SUPERSEDED", "CONTRADICTED", "STALE"]
+
+
+def reconcile_edges(batch_edges: DataFrame, existing_edges: DataFrame | None) -> DataFrame:
+    """ADOPTED vs PROJECTED against the durable graph
+    (projection/lineage/RepositoryBackedReconciler.kt:42-89,
+    ProjectionLifecycle.kt:27-30): a batch edge whose edge_ref already exists
+    in the store is Adopt(targetRef) — the existing artifact is reused and its
+    lineage row reads ADOPTED; an unseen edge_ref is CreateNew -> PROJECTED.
+
+    One broadcast-or-hash semi-join on edge_ref; adds a ``lifecycle`` column.
+    """
+    if existing_edges is None:
+        return batch_edges.withColumn("lifecycle", F.lit("PROJECTED"))
+    known = existing_edges.select("edge_ref").distinct()
+    flagged = batch_edges.join(
+        known.withColumn("_known", F.lit(True)), "edge_ref", "left"
+    )
+    return flagged.withColumn(
+        "lifecycle", F.when(F.col("_known"), "ADOPTED").otherwise("PROJECTED")
+    ).drop("_known")
+
+
+def stale_cascade(records: DataFrame, props: DataFrame) -> DataFrame:
+    """Mark lineage records stale when their proposition reached a terminal
+    status (ProjectionLineageStaleCascade.kt: SUPERSEDED / CONTRADICTED /
+    STALE). The event-listener push becomes one set-oriented semi-join flag —
+    same observable outcome, no mutable store."""
+    terminal = (
+        props.filter(F.col("status").isin(TERMINAL_STATUSES)).select("prop_id").distinct()
+    )
+    return records.join(
+        terminal.withColumn("_t", F.lit(True)), "prop_id", "left"
+    ).withColumn("stale", F.coalesce(F.col("_t"), F.lit(False))).drop("_t")

@@ -1,0 +1,109 @@
+"""Provenance stamping, authority tiers, and authority-weighted trust.
+
+Ports three SPI pieces of the reference:
+
+* stampProvenance (pipeline/PropositionPipeline.kt:306-319): each proposition
+  carries provenance entries linking it to the chunks it came from. The
+  locator is the caller's source locator when known, else a content-addressed
+  locator over the chunk text — always available, grounds the fact in the
+  exact content it was read from (provenance/SourceLocator.kt:42-150).
+  Locator keys are kind-prefixed strings ("uri:...", "file:...",
+  "content:...", "connector:...") exactly as SourceLocator.key() renders them.
+* StructuralAuthorityResolver (spi/Authority.kt:35-131): a proposition's
+  authority is the STRONGEST (lowest-ordinal) tier across its grounding
+  locators; no grounding fails safe to UNKNOWN. Tier mapping: connector ->
+  PRIMARY, uri/file -> SECONDARY, content -> DERIVED.
+* AuthorityWeightedTrustScorer (spi/AuthorityWeightedTrustScorer.kt):
+  trust = weight[tier], default PRIMARY 0.9 / SECONDARY 0.75 / DERIVED 0.6 /
+  UNKNOWN 0.5 — the cached trust score the TrustGate and
+  PropositionQuery.min_trust_score read (fail-open on absence).
+
+Everything is a column expression over a ``provenance`` array<string> column —
+no UDFs, no shuffles beyond the one grounding join in stamp_provenance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+AUTHORITY_TIERS = ["PRIMARY", "SECONDARY", "DERIVED", "UNKNOWN"]  # ordinal = index
+TRUST_WEIGHTS = [0.9, 0.75, 0.6, 0.5]  # AuthorityWeightedTrustScorer.DEFAULT_WEIGHTS
+UNKNOWN_ORDINAL = 3
+
+
+def stamp_provenance(
+    props: DataFrame,
+    chunks: DataFrame,
+    chunk_id_col: str = "chunk_id",
+    text_col: str = "text",
+    hash_col: str | None = None,
+    locator_col: str | None = None,
+) -> DataFrame:
+    """Attach a ``provenance`` array of locator keys to each proposition.
+
+    props must carry ``grounding`` (array of chunk ids). Each grounding chunk
+    contributes one entry: the chunk's explicit source locator when
+    ``locator_col`` names one, else the content-addressed fallback
+    ``content:<sha256(chunk text)>`` (``hash_col`` reuses a precomputed
+    content hash, e.g. assembly's). Sorted distinct — deterministic across
+    reruns and parallelism.
+    """
+    content = (
+        F.col(hash_col) if hash_col else F.sha2(F.col(text_col), 256)
+    )
+    key = F.concat(F.lit("content:"), content)
+    if locator_col:
+        key = F.coalesce(F.col(locator_col), key)
+    entries = chunks.select(F.col(chunk_id_col).alias("_chunk"), key.alias("_key"))
+    stamped = (
+        props.select("prop_id", F.explode("grounding").alias("_chunk"))
+        .join(entries, "_chunk")
+        .groupBy("prop_id")
+        .agg(F.array_sort(F.collect_set("_key")).alias("provenance"))
+    )
+    return props.join(stamped, "prop_id", "left").withColumn(
+        "provenance", F.coalesce("provenance", F.array().cast("array<string>"))
+    )
+
+
+def locator_ordinal(key: Column) -> Column:
+    """SourceLocator kind -> AuthorityTier ordinal (StructuralAuthorityResolver.DEFAULT_MAP)."""
+    return (
+        F.when(key.startswith("connector:"), 0)
+        .when(key.startswith("uri:"), 1)
+        .when(key.startswith("file:"), 1)
+        .when(key.startswith("content:"), 2)
+        .otherwise(UNKNOWN_ORDINAL)
+    )
+
+
+def authority_ordinal(provenance: Column | str = "provenance") -> Column:
+    """Strongest (min) tier ordinal across grounding locators; UNKNOWN when empty."""
+    p = F.col(provenance) if isinstance(provenance, str) else provenance
+    return F.coalesce(
+        F.array_min(F.transform(p, lambda k: locator_ordinal(k))),
+        F.lit(UNKNOWN_ORDINAL),
+    )
+
+
+def authority_tier(provenance: Column | str = "provenance") -> Column:
+    """Tier name (PRIMARY|SECONDARY|DERIVED|UNKNOWN) from the provenance array."""
+    return F.element_at(
+        F.array(*[F.lit(t) for t in AUTHORITY_TIERS]), authority_ordinal(provenance) + 1
+    )
+
+
+def trust_score(provenance: Column | str = "provenance") -> Column:
+    """Authority-weighted trust (AuthorityWeightedTrustScorer.DEFAULT_WEIGHTS)."""
+    return F.element_at(
+        F.array(*[F.lit(w) for w in TRUST_WEIGHTS]), authority_ordinal(provenance) + 1
+    )
+
+
+def with_provenance_metadata(props: DataFrame, chunks: DataFrame, **kwargs) -> DataFrame:
+    """stamp_provenance + authority_tier + trust_score in one pass."""
+    out = stamp_provenance(props, chunks, **kwargs)
+    return out.withColumn("authority_tier", authority_tier()).withColumn(
+        "trust_score", trust_score()
+    )

@@ -183,6 +183,74 @@ def revise(existing: DataFrame, incoming: DataFrame, classified_pairs: DataFrame
     return out.unionByName(untouched_ex).unionByName(new_rows)
 
 
+def candidate_pairs_by_overlap(mentions_a: DataFrame, mentions_b: DataFrame) -> DataFrame:
+    """Generate candidate (existing_id, new_id) pairs sharing >= 1 entity.
+
+    The candidate-generation twin of entity_overlap_prefilter: resolved-id
+    equality when both sides resolved, case-insensitive span equality as the
+    fallback (LlmPropositionReviser.kt:344-363). Two equi-joins unioned —
+    hash-partitionable, no OR condition.
+    """
+    a = mentions_a.select(
+        F.col("prop_id").alias("existing_id"), F.lower("span").alias("ka"),
+        F.col("resolved_id").alias("rida"),
+    )
+    b = mentions_b.select(
+        F.col("prop_id").alias("new_id"), F.lower("span").alias("kb"),
+        F.col("resolved_id").alias("ridb"),
+    )
+    by_entity = (
+        a.filter(F.col("rida").isNotNull())
+        .join(b.filter(F.col("ridb").isNotNull()), F.col("rida") == F.col("ridb"))
+        .select("existing_id", "new_id")
+    )
+    by_span = a.join(b, F.col("ka") == F.col("kb")).select("existing_id", "new_id")
+    return by_entity.unionByName(by_span).distinct()
+
+
+def prop_mentions(props: DataFrame) -> DataFrame:
+    """(prop_id, span, resolved_id) mention rows from a proposition table.
+
+    Uses resolved subj_id/obj_id columns when present, else null (the span
+    fallback carries the prefilter).
+    """
+    sid = F.col("subj_id") if "subj_id" in props.columns else F.lit(None).cast("string")
+    oid = F.col("obj_id") if "obj_id" in props.columns else F.lit(None).cast("string")
+    return props.select(
+        "prop_id", F.col("subj_span").alias("span"), sid.alias("resolved_id")
+    ).unionByName(
+        props.select("prop_id", F.col("obj_span").alias("span"), oid.alias("resolved_id"))
+    )
+
+
+def revise_batch(
+    existing: DataFrame,
+    incoming: DataFrame,
+    mentions_existing: DataFrame | None = None,
+    mentions_incoming: DataFrame | None = None,
+    classifier=None,
+) -> DataFrame:
+    """The full revision stage: candidates -> classify seam -> revise.
+
+    Mirrors the reference write path (PropositionPipeline.kt:254-281: every
+    store write revises against existing propositions): entity-overlap
+    candidate generation, the batched classification UDF, then the
+    merge/reinforce/contradict arithmetic of ``revise``.
+    """
+    mentions_existing = mentions_existing if mentions_existing is not None else prop_mentions(existing)
+    mentions_incoming = mentions_incoming if mentions_incoming is not None else prop_mentions(incoming)
+    pairs = candidate_pairs_by_overlap(mentions_existing, mentions_incoming)
+    with_text = pairs.join(
+        existing.select(F.col("prop_id").alias("existing_id"), F.col("text").alias("existing_text")),
+        "existing_id",
+    ).join(
+        incoming.select(F.col("prop_id").alias("new_id"), F.col("text").alias("new_text")),
+        "new_id",
+    )
+    classifier = classifier if classifier is not None else classify_pairs_udf
+    return revise(existing, incoming, classifier(with_text))
+
+
 def entity_overlap_prefilter(candidate_pairs: DataFrame, mentions_a: DataFrame, mentions_b: DataFrame) -> DataFrame:
     """Semi-join pre-filter: keep only pairs sharing >= 1 resolved entity
     (fallback: case-insensitive span), LlmPropositionReviser.kt:344-363.

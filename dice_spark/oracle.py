@@ -258,10 +258,32 @@ FROM typed_triples
 
 
 def q_propositions() -> str:
-    return base_ctes() + """
-SELECT prop_id, context_id, text, predicate, subj_span, obj_span, subj_type,
-       obj_type, confidence, decay, reinforce_count
-FROM propositions
+    """Propositions incl. provenance locator keys (stampProvenance), the
+    strongest authority tier across locators (StructuralAuthorityResolver) and
+    the authority-weighted trust score (AuthorityWeightedTrustScorer)."""
+    ordinal = (
+        "coalesce(list_min(list_transform(prov_list, k -> "
+        "case when starts_with(k, 'connector:') then 0 "
+        "when starts_with(k, 'uri:') then 1 "
+        "when starts_with(k, 'file:') then 1 "
+        "when starts_with(k, 'content:') then 2 else 3 end)), 3)"
+    )
+    return base_ctes() + f""",
+prov AS (
+  SELECT t.sentence,
+         list_sort(list(DISTINCT 'content:' || sha256(c.text))) AS prov_list
+  FROM typed_triples t
+  JOIN chunks c
+    ON (c.conv_id || ':' || cast(c.window_start as varchar) || ':' ||
+        cast(c.window_end as varchar)) = t.chunk_id
+  GROUP BY t.sentence
+)
+SELECT p.prop_id, p.context_id, p.text, p.predicate, p.subj_span, p.obj_span,
+       p.subj_type, p.obj_type, p.confidence, p.decay, p.reinforce_count,
+       array_to_string(v.prov_list, ',') AS provenance_keys,
+       (['PRIMARY','SECONDARY','DERIVED','UNKNOWN'])[{ordinal} + 1] AS authority_tier,
+       cast(([0.9, 0.75, 0.6, 0.5])[{ordinal} + 1] as double) AS trust_score
+FROM propositions p JOIN prov v ON v.sentence = p.text
 """
 
 
@@ -334,6 +356,270 @@ decayed AS (
 SELECT conv_id, turn_idx, eff_conf,
        case when eff_conf < 0.1 then 'STALE' else 'ACTIVE' end AS status
 FROM decayed
+"""
+
+
+def q_prop_query(
+    as_of: str = "2024-12-31 00:00:00",
+    created_after: str = "2024-01-01 00:00:00",
+    min_reinforce: int = 1,
+    min_eff: float = 0.05,
+    limit: int = 200,
+) -> str:
+    """PropositionQuery oracle: context + created-range + min-reinforce +
+    min-effective-confidence + any-entity filters, EFFECTIVE_CONFIDENCE_DESC
+    ordering (prop_id tie-break), limit — mirrors operators/propquery.py.
+
+    The Spark side additionally applies statuses=['ACTIVE'] and pinned=False,
+    which are constant-true on this synthetic store (every proposition is
+    minted ACTIVE/unpinned), so the oracle omits them.
+    """
+    return base_ctes() + canonicalization_ctes() + edges_ctes() + f""",
+times AS (
+  SELECT t.sentence, min(tr.ts) AS created, max(tr.ts) AS last_touched
+  FROM typed_triples t
+  JOIN transcripts tr ON tr.conv_id = t.conv_id AND tr.turn_idx = t.turn_idx
+  GROUP BY t.sentence
+),
+proj_ents AS (SELECT entity_id FROM entities WHERE canonical_name LIKE 'Project %'),
+eff AS (
+  SELECT rp.prop_id, rp.text, rp.reinforce_count, ti.created, ti.last_touched,
+         rp.subj_id, rp.obj_id,
+         round(rp.confidence * exp(-rp.decay * 2.0 *
+           greatest(floor((epoch(timestamp '{as_of}') - epoch(ti.last_touched)) / 86400), 0)), 6)
+           AS eff_conf
+  FROM resolved_props rp JOIN times ti ON ti.sentence = rp.text
+),
+filtered AS (
+  SELECT * FROM eff
+  WHERE created >= timestamp '{created_after}'
+    AND reinforce_count >= {min_reinforce}
+    AND eff_conf >= {min_eff}
+    AND (subj_id IN (SELECT entity_id FROM proj_ents)
+         OR obj_id IN (SELECT entity_id FROM proj_ents))
+)
+SELECT prop_id, text, reinforce_count,
+       cast(floor(epoch(created)) as bigint) AS created_s,
+       cast(floor(epoch(last_touched)) as bigint) AS touched_s,
+       eff_conf
+FROM filtered ORDER BY eff_conf DESC, prop_id LIMIT {limit}
+"""
+
+
+def _char_emb_sql(expr: str) -> str:
+    """26-dim letter-count embedding (mirror of linking.char_embedding)."""
+    items = ", ".join(
+        f"cast(length({expr}) - length(replace({expr}, '{c}', '')) as double)"
+        for c in "abcdefghijklmnopqrstuvwxyz"
+    )
+    return f"[{items}]"
+
+
+def q_linking_ladder(
+    auto_accept: float = 0.95, cand_floor: float = 0.7, bake_accept: float = 0.8
+) -> str:
+    """Full escalation-ladder oracle (mirror of linking.resolve_against_entities
+    with vector_tier=True): per-level counters over a probe set of word-reversed
+    canonical entity names — EXACT catches single-word names, the VECTOR tier
+    (letter-count cosine) catches the reordered multi-word names that every
+    string tier misses, ambiguity falls through to the BAKEOFF argmax rule.
+    """
+    nk_span = duckdb_norm_key_sql("span")
+    nk_name = duckdb_norm_key_sql("canonical_name")
+    emb_m = _char_emb_sql("u4.norm_key")
+    emb_e = _char_emb_sql("r.e_norm_key")
+    return base_ctes() + canonicalization_ctes() + f""",
+ents_m AS MATERIALIZED (SELECT * FROM entities),
+probe AS MATERIALIZED (
+  SELECT DISTINCT span, entity_type FROM (
+    SELECT canonical_name AS span, entity_type FROM ents_m
+    UNION ALL SELECT 'Dr. ' || canonical_name, entity_type FROM ents_m
+    UNION ALL SELECT array_to_string(list_reverse(str_split(canonical_name, ' ')), ' '), entity_type FROM ents_m
+    UNION ALL SELECT str_split(canonical_name, ' ')[-1], entity_type FROM ents_m
+    UNION ALL SELECT canonical_name || 'x', entity_type FROM ents_m
+  )
+),
+m AS (SELECT span, lower(entity_type) AS type_key, {nk_span} AS norm_key FROM probe),
+reg AS MATERIALIZED (
+  SELECT entity_id, canonical_name AS e_name, {nk_name} AS e_norm_key,
+         lower(entity_type) AS e_type_key
+  FROM ents_m
+),
+exact_r AS (
+  SELECT m.span, m.type_key FROM m
+  JOIN reg r ON lower(m.span) = lower(r.e_name) AND m.type_key = r.e_type_key
+  GROUP BY 1, 2 HAVING count(DISTINCT r.entity_id) = 1
+),
+u1 AS (SELECT m.* FROM m ANTI JOIN exact_r USING (span, type_key)),
+norm_r AS (
+  SELECT u1.span, u1.type_key FROM u1
+  JOIN reg r ON u1.norm_key = r.e_norm_key AND u1.type_key = r.e_type_key
+  GROUP BY 1, 2 HAVING count(DISTINCT r.entity_id) = 1
+),
+u2 AS (SELECT u1.* FROM u1 ANTI JOIN norm_r USING (span, type_key)),
+part_c AS (
+  SELECT u2.span, u2.type_key, t.entity_id
+  FROM u2
+  JOIN (
+    SELECT r.entity_id, r.e_type_key, tok.tok
+    FROM reg r, unnest(str_split(r.e_norm_key, ' ')) AS tok(tok)
+    WHERE contains(r.e_norm_key, ' ') AND length(tok.tok) >= 4
+  ) t ON u2.norm_key = t.tok AND u2.type_key = t.e_type_key
+  WHERE NOT contains(u2.norm_key, ' ') AND length(u2.norm_key) >= 4
+  UNION
+  SELECT u2.span, u2.type_key, r.entity_id
+  FROM (
+    SELECT u2.span, u2.type_key, tok.tok
+    FROM u2, unnest(str_split(u2.norm_key, ' ')) AS tok(tok)
+    WHERE contains(u2.norm_key, ' ') AND length(tok.tok) >= 4
+  ) u2 JOIN reg r
+    ON u2.tok = r.e_norm_key AND u2.type_key = r.e_type_key
+   AND NOT contains(r.e_norm_key, ' ')
+),
+part_r AS (
+  SELECT span, type_key FROM part_c
+  GROUP BY 1, 2 HAVING count(DISTINCT entity_id) = 1
+),
+u3 AS (SELECT u2.* FROM u2 ANTI JOIN part_r USING (span, type_key)),
+fuzzy_r AS (
+  SELECT u3.span, u3.type_key FROM u3
+  JOIN reg r
+    ON u3.type_key = r.e_type_key
+   AND substr(u3.norm_key, 1, 1) = substr(r.e_norm_key, 1, 1)
+   AND (length(u3.norm_key) // 4) = (length(r.e_norm_key) // 4)
+  WHERE length(u3.norm_key) >= 4 AND length(r.e_norm_key) >= 4
+    AND levenshtein(u3.norm_key, r.e_norm_key)
+        <= floor(least(length(u3.norm_key), length(r.e_norm_key)) * 0.2)
+  GROUP BY 1, 2 HAVING count(DISTINCT r.entity_id) = 1
+),
+u4 AS (SELECT u3.* FROM u3 ANTI JOIN fuzzy_r USING (span, type_key)),
+vec_cand AS (
+  SELECT * FROM (
+    SELECT u4.span, u4.type_key, r.entity_id,
+           round(list_cosine_similarity({emb_m}, {emb_e}), 6) AS cos
+    FROM u4 JOIN reg r ON u4.type_key = r.e_type_key
+  ) WHERE cos >= {cand_floor}
+),
+auto_r AS (
+  SELECT span, type_key FROM vec_cand WHERE cos >= {auto_accept}
+  GROUP BY 1, 2 HAVING count(DISTINCT entity_id) = 1
+),
+bake_r AS (
+  SELECT span, type_key FROM (
+    SELECT v.*, row_number() OVER (
+      PARTITION BY span, type_key ORDER BY cos DESC, entity_id ASC
+    ) AS rn
+    FROM vec_cand v ANTI JOIN auto_r USING (span, type_key)
+  ) WHERE rn = 1 AND cos >= {bake_accept}
+),
+levels AS (
+  SELECT span, type_key, 'EXACT' AS resolution_level FROM exact_r
+  UNION ALL SELECT span, type_key, 'NORMALIZED' FROM norm_r
+  UNION ALL SELECT span, type_key, 'PARTIAL' FROM part_r
+  UNION ALL SELECT span, type_key, 'FUZZY' FROM fuzzy_r
+  UNION ALL SELECT span, type_key, 'VECTOR' FROM auto_r
+  UNION ALL SELECT span, type_key, 'BAKEOFF' FROM bake_r
+)
+SELECT coalesce(l.resolution_level, 'NO_MATCH') AS resolution_level, count(*) AS n
+FROM m LEFT JOIN levels l USING (span, type_key)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_revision_outcomes() -> str:
+    """Two-batch revision oracle (mirror of revision.revise_batch feeding
+    revision.revise): conversations split by user-id parity into an 'existing'
+    store (even) and an 'incoming' batch (odd); candidate pairs share a
+    lowered mention span; the classifier is the deterministic token-Jaccard /
+    negation rule of classify_pairs_udf; outcomes follow LlmPropositionReviser
+    arithmetic (:666-708 merge/reinforce, :513-550 contradict)."""
+    canon = duckdb_canonicalize_text_sql("text")
+    toks = (
+        "list_distinct(list_filter(str_split_regex("
+        "regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+'), t -> t <> ''))"
+    )
+    neg = "regexp_matches(lower(text), '\\b(not|never|no longer)\\b')"
+    return base_ctes() + f""",
+bprops AS MATERIALIZED (
+  SELECT cast(substr(conv_id, -1, 1) as int) % 2 AS batch,
+         md5('{CTX}' || '|' || sentence) AS prop_id,
+         sentence AS text,
+         min(subj_span) AS subj_span,
+         min(obj_span) AS obj_span,
+         round(least(min(confidence) * (1 + 0.3 * (count(*) - 1)), 0.99), 6) AS confidence,
+         round(min(decay) * pow(0.7, count(*) - 1), 6) AS decay,
+         count(*) - 1 AS reinforce_count
+  FROM typed_triples GROUP BY 1, sentence
+),
+ex AS (SELECT *, {canon} AS canon, {toks} AS toks, {neg} AS neg FROM bprops WHERE batch = 0),
+inc_all AS (SELECT *, {canon} AS canon, {toks} AS toks, {neg} AS neg FROM bprops WHERE batch = 1),
+inc AS (
+  SELECT * FROM (
+    SELECT i.*, row_number() OVER (PARTITION BY canon ORDER BY prop_id) AS rn
+    FROM inc_all i
+  ) WHERE rn = 1
+),
+ments AS MATERIALIZED (
+  SELECT batch, prop_id, lower(subj_span) AS k FROM bprops
+  UNION ALL SELECT batch, prop_id, lower(obj_span) FROM bprops
+),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT a.prop_id AS existing_id, b.prop_id AS new_id
+  FROM ments a JOIN ments b ON a.k = b.k AND a.batch = 0 AND b.batch = 1
+),
+cls AS (
+  SELECT existing_id, new_id,
+         case when sim >= 0.5 and neg_a <> neg_b then 'CONTRADICTORY'
+              when sim >= 0.999 then 'IDENTICAL'
+              when sim >= 0.5 then 'SIMILAR'
+              else 'UNRELATED' end AS relation,
+         round(sim, 6) AS similarity
+  FROM (
+    SELECT p.existing_id, p.new_id,
+           len(list_intersect(a.toks, b.toks))
+             / greatest(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)), 1)::double AS sim,
+           a.neg AS neg_a, b.neg AS neg_b
+    FROM pairs p
+    JOIN ex a ON a.prop_id = p.existing_id
+    JOIN inc_all b ON b.prop_id = p.new_id
+  )
+),
+merged AS (
+  SELECT e.prop_id AS e_id, i.prop_id AS i_id,
+         round(least(e.confidence + 0.3 * i.confidence, 0.99), 6) AS confidence
+  FROM ex e JOIN inc i ON e.canon = i.canon
+),
+rest_ex AS (SELECT * FROM ex ANTI JOIN (SELECT e_id AS prop_id FROM merged) USING (prop_id)),
+rest_inc AS (SELECT * FROM inc ANTI JOIN (SELECT i_id AS prop_id FROM merged) USING (prop_id)),
+reinforced AS (
+  SELECT e.prop_id AS e_id, i.prop_id AS i_id,
+         round(least(e.confidence + 0.1 * i.confidence, 0.95), 6) AS confidence
+  FROM cls c
+  JOIN rest_ex e ON e.prop_id = c.existing_id
+  JOIN rest_inc i ON i.prop_id = c.new_id
+  WHERE c.relation = 'SIMILAR' AND c.similarity >= 0.7
+),
+contradicted AS (
+  SELECT e.prop_id AS e_id,
+         round(greatest(e.confidence * 0.3, 0.05), 6) AS confidence
+  FROM cls c JOIN rest_ex e ON e.prop_id = c.existing_id
+  WHERE c.relation = 'CONTRADICTORY'
+),
+touched AS (
+  SELECT e_id AS prop_id FROM reinforced UNION SELECT e_id FROM contradicted
+),
+unchanged AS (SELECT * FROM rest_ex ANTI JOIN touched USING (prop_id)),
+consumed AS (SELECT DISTINCT i_id AS prop_id FROM reinforced),
+new_rows AS (SELECT * FROM rest_inc ANTI JOIN consumed USING (prop_id)),
+outcomes AS (
+  SELECT 'MERGED' AS revision_outcome, confidence FROM merged
+  UNION ALL SELECT 'REINFORCED', confidence FROM reinforced
+  UNION ALL SELECT 'CONTRADICTED', confidence FROM contradicted
+  UNION ALL SELECT 'UNCHANGED', confidence FROM unchanged
+  UNION ALL SELECT 'NEW', confidence FROM new_rows
+)
+SELECT revision_outcome, count(*) AS n, round(sum(confidence), 6) AS sum_conf
+FROM outcomes GROUP BY 1
 """
 
 

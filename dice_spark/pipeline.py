@@ -44,9 +44,25 @@ def run_pipeline(
     processed_chunks: DataFrame | None = None,
     run_id: str = "run-0",
     shuffle_partitions: int | None = None,
+    spill_dir: str | None = None,
+    existing_props: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
+    """spill_dir: when set, shared intermediates (extraction output) are
+    materialized as parquet under this path instead of a deserialized
+    localCheckpoint — columnar on disk, no executor-memory footprint. This is
+    the multi-executor-cluster shape (stage outputs written to shared storage);
+    in local mode it lifts the single-JVM block-manager ceiling at 10M+ turns.
+    """
     spark = transcripts.sparkSession
     relations = relations if relations is not None else relations_df(spark)
+
+    def _materialize(df: DataFrame, name: str) -> DataFrame:
+        if spill_dir is None:
+            # Lazy: the first action computes it; later readers reuse it.
+            return df.localCheckpoint(eager=False)
+        path = f"{spill_dir}/{name}.parquet"
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
 
     chunks = assemble_windows(transcripts)
     if processed_chunks is not None:
@@ -64,17 +80,28 @@ def run_pipeline(
     else:
         triples = extract_triples(turns, relations, conf_overrides)
     # Extraction feeds both the mention/canonicalization branch and the
-    # proposition branch — materialize once (lazy: first action computes it).
-    triples = triples.localCheckpoint(eager=False)
+    # proposition branch — materialize once.
+    triples = _materialize(triples, "triples")
 
     mentions = triples.select(
         F.col("subj_span").alias("span"), F.col("subj_type").alias("entity_type")
     ).unionByName(
         triples.select(F.col("obj_span").alias("span"), F.col("obj_type").alias("entity_type"))
     )
+    # Mention quality gate (MentionFilter/MentionValidationRule): junk spans
+    # (blank, vague demonstratives, over-long) never become entities.
+    from dice_spark.operators.mention_filter import filter_mentions
+
+    mentions, rejected_mentions = filter_mentions(mentions)
     entities, mapping = canonicalize_mentions(mentions, context_id)
 
     props = triples_to_propositions(triples, context_id)
+    # Provenance stamp (PropositionPipeline.stampProvenance): every
+    # proposition carries content-addressed locators for its grounding chunks,
+    # plus the derived authority tier and authority-weighted trust score.
+    from dice_spark.operators.provenance import with_provenance_metadata
+
+    props = with_provenance_metadata(props, chunks, hash_col="content_hash")
     subj_map = mapping.select(
         F.col("norm_key").alias("_sk"), F.col("type_key").alias("_st"), F.col("resolved_id").alias("subj_id")
     )
@@ -98,7 +125,19 @@ def run_pipeline(
     edges = project_edges(classified)
     records = projection_records(classified, run_id)
 
+    # Revision stage (reference write path, PropositionPipeline.kt:254-281):
+    # when an existing store is supplied, the incoming batch is revised
+    # against it — merge / reinforce / contradict per LlmPropositionReviser —
+    # and the revised store is the durable output alongside this batch's graph.
+    revision = None
+    if existing_props is not None:
+        from dice_spark.operators.revision import revise_batch
+
+        revision = revise_batch(existing_props, props)
+
     return {
+        **({"revision": revision} if revision is not None else {}),
+        "rejected_mentions": rejected_mentions,
         "chunks": chunks,
         "turns": turns,
         "triples": triples,

@@ -1,0 +1,138 @@
+"""RetrievalRouter modes + clamps, KnownEntityResolver fast path,
+Reconciler ADOPTED/PROJECTED, stale cascade, named-turn MessageFormatter."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dice_spark.operators.router import MODES, DiscoveryQuery, retrieve
+
+
+@pytest.fixture
+def store(spark):
+    import datetime as dt
+
+    rows = [
+        ("p1", "c1", "Alice works with Bob", dt.datetime(2024, 1, 1)),
+        ("p2", "c1", "Bob mentors Carol", dt.datetime(2024, 2, 1)),
+        ("p3", "c1", "Dana founded Acme", dt.datetime(2024, 3, 1)),
+        ("p4", "c2", "Alice works with Bob", dt.datetime(2024, 1, 1)),  # other context
+    ]
+    return spark.createDataFrame(rows, "prop_id string, context_id string, text string, created timestamp")
+
+
+@pytest.fixture
+def pe(spark):
+    return spark.createDataFrame(
+        [("p1", "e1"), ("p1", "e2"), ("p2", "e2"), ("p2", "e3"), ("p3", "e4")],
+        "prop_id string, resolved_id string",
+    )
+
+
+@pytest.fixture
+def edges(spark):
+    return spark.createDataFrame(
+        [("e1", "e2", "WORKS_WITH"), ("e2", "e3", "MENTORS")],
+        "source_id string, target_id string, edge_type string",
+    )
+
+
+def ids(res):
+    return [r["prop_id"] for r in res["propositions"].collect()]
+
+
+def test_vector_mode_scoped_and_ranked(store):
+    res = retrieve(store, DiscoveryQuery(mode="VECTOR", text="alice works with bob", top_k=2), "c1")
+    got = ids(res)
+    assert got[0] == "p1" and "p4" not in got  # exact text tops; context scoped
+
+
+def test_entity_and_graph_walk(store, pe, edges):
+    assert ids(retrieve(store, DiscoveryQuery(mode="ENTITY", entity_id="e3"), "c1", pe)) == ["p2"]
+    # walk from e1 at depth 2 reaches e2, e3 -> props p1, p2
+    res = retrieve(store, DiscoveryQuery(mode="GRAPH_WALK", entity_id="e1", depth=2), "c1", pe, edges)
+    assert sorted(ids(res)) == ["p1", "p2"]
+
+
+def test_temporal_and_clamps(store):
+    res = retrieve(store, DiscoveryQuery(mode="TEMPORAL", from_ts="2024-01-15 00:00:00", to_ts="2024-02-15 00:00:00"), "c1")
+    assert ids(res) == ["p2"]
+    # depth/topK clamped, bogus mode raises
+    with pytest.raises(ValueError):
+        retrieve(store, DiscoveryQuery(mode="NOPE"), "c1")
+    assert set(MODES) == {"VECTOR", "ENTITY", "GRAPH_WALK", "TEMPORAL", "HYBRID"}
+
+
+def test_hybrid_merge_tiers(store, pe, edges):
+    # vector hit (exact text) ranks tier 0; graph-only neighbours tier 1.
+    res = retrieve(
+        store,
+        DiscoveryQuery(mode="HYBRID", text="bob mentors carol", entity_id="e1", depth=1, top_k=3),
+        "c1", pe, edges,
+    )
+    got = ids(res)
+    assert got[0] == "p2"  # best vector score first
+    assert set(got) >= {"p1", "p2"}
+
+
+def test_known_entity_fast_path(spark):
+    from dice_spark.operators.linking import known_entity_fast_path
+
+    mentions = spark.createDataFrame(
+        [("Dr. Alice Nguyen", "Person"), ("Acme Corp", "Org"), ("Nobody Here", "Person")],
+        "span string, entity_type string",
+    )
+    known = spark.createDataFrame(
+        [("k1", "Alice Nguyen", ["person"]), ("k2", "Acme Corp", ["saas"])],
+        "entity_id string, canonical_name string, labels array<string>",
+    )
+    resolved, remaining = known_entity_fast_path(mentions, known)
+    got = {r["span"]: (r["resolved_id"], r["resolution_level"]) for r in resolved.collect()}
+    # title strips to the known name; labels cover the type -> REFERENCE_ONLY
+    assert got["Dr. Alice Nguyen"] == ("k1", "KNOWN_REFERENCE")
+    # name matches but 'org' not in known labels -> label widening
+    assert got["Acme Corp"] == ("k2", "KNOWN_WIDENED")
+    assert [r["span"] for r in remaining.collect()] == ["Nobody Here"]
+
+
+def test_reconcile_adopted_vs_projected(spark):
+    from dice_spark.operators.projection import reconcile_edges, stale_cascade
+
+    batch = spark.createDataFrame(
+        [("a-[X]->b",), ("c-[Y]->d",)], "edge_ref string"
+    )
+    existing = spark.createDataFrame([("a-[X]->b",)], "edge_ref string")
+    got = {r["edge_ref"]: r["lifecycle"] for r in reconcile_edges(batch, existing).collect()}
+    assert got == {"a-[X]->b": "ADOPTED", "c-[Y]->d": "PROJECTED"}
+    got = {r["edge_ref"]: r["lifecycle"] for r in reconcile_edges(batch, None).collect()}
+    assert set(got.values()) == {"PROJECTED"}
+
+    records = spark.createDataFrame(
+        [("r1", "p1"), ("r1", "p2"), ("r1", "p3")], "run_id string, prop_id string"
+    )
+    props = spark.createDataFrame(
+        [("p1", "ACTIVE"), ("p2", "CONTRADICTED"), ("p3", "SUPERSEDED")],
+        "prop_id string, status string",
+    )
+    stale = {r["prop_id"]: r["stale"] for r in stale_cascade(records, props).collect()}
+    assert stale == {"p1": False, "p2": True, "p3": True}
+
+
+def test_named_turn_formatter_roundtrip(spark):
+    from dice_spark.operators.assembly import assemble_windows, split_turns
+
+    rows = [
+        ("c1", 0, "user", "Hello there.", None, None, "Hunter"),
+        ("c1", 1, "assistant", "Hi!", None, None, None),
+    ]
+    tr = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp, name string"
+    )
+    chunks = assemble_windows(tr)
+    text = chunks.collect()[0]["text"]
+    # reference MessageFormatter: "name (role): content" when a name exists
+    assert text == "Hunter (user): Hello there.\n\nassistant: Hi!"
+    turns = {r["turn_idx"]: (r["role"], r["text"]) for r in split_turns(chunks).collect()}
+    assert turns == {0: ("user", "Hello there."), 1: ("assistant", "Hi!")}
