@@ -275,23 +275,83 @@ def q_linking_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_revision_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-batch revision: conversations split by user-id parity, odd batch
-    revised against the even 'store' (merge / reinforce / contradict counters,
+    """Two-batch revision: a small incoming conversation batch revised against
+    the store built from the rest (merge / reinforce / contradict counters,
     LlmPropositionReviser.kt:666-708,513-550)."""
     from dice_spark.operators.revision import revise_batch
 
     tr = _transcripts(spark, sf_dir)
-    parity = F.substring("conv_id", -1, 1).cast("int") % 2
+    # Incoming = conversations whose user id ends in '1' (~10%), existing =
+    # the rest: the reference shape is a SMALL incoming batch revised against
+    # a large store (candidate pairs stay incoming-bounded, never store^2).
+    last = F.substring("conv_id", -1, 1)
 
     def props_of(t: DataFrame) -> DataFrame:
         return triples_to_propositions(
             extract_triples_udf(split_turns(assemble_windows(t))), CTX
         )
 
-    out = revise_batch(props_of(tr.filter(parity == 0)), props_of(tr.filter(parity == 1)))
+    out = revise_batch(props_of(tr.filter(last != "1")), props_of(tr.filter(last == "1")))
     return out.groupBy("revision_outcome").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("confidence"), 6).alias("sum_conf")
     )
+
+
+
+def q_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dream-loop AbstractionPass over the freshly-built store: level-0 ACTIVE
+    propositions grouped by resolved entity, groups >= 5 members abstract and
+    retire their members (AbstractionPass.kt:48-100)."""
+    from dice_spark.operators.consolidation import abstraction_pass
+
+    triples = _triples(spark, sf_dir).localCheckpoint(eager=False)
+    props = triples_to_propositions(triples, CTX)
+    _, mapping = canonicalize_mentions(_mentions(triples), CTX)
+    subj_map = mapping.select(
+        F.col("norm_key").alias("_sk"), F.col("type_key").alias("_st"), F.col("resolved_id").alias("subj_id")
+    )
+    obj_map = mapping.select(
+        F.col("norm_key").alias("_ok"), F.col("type_key").alias("_ot"), F.col("resolved_id").alias("obj_id")
+    )
+    props = (
+        props.withColumn("_sk", norm_key("subj_span"))
+        .withColumn("_st", F.lower("subj_type"))
+        .withColumn("_ok", norm_key("obj_span"))
+        .withColumn("_ot", F.lower("obj_type"))
+        .join(subj_map, ["_sk", "_st"], "left")
+        .join(obj_map, ["_ok", "_ot"], "left")
+        .drop("_sk", "_st", "_ok", "_ot")
+    )
+    prop_entities = (
+        props.select("prop_id", F.col("subj_id").alias("resolved_id"))
+        .unionByName(props.select("prop_id", F.col("obj_id").alias("resolved_id")))
+        .filter(F.col("resolved_id").isNotNull())
+    )
+    out = abstraction_pass(props.withColumn("source_ids", F.col("grounding")), prop_entities, CTX)
+    return out.groupBy("consolidation_outcome").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("confidence"), 6).alias("sum_conf")
+    )
+
+
+
+def q_retrieval_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RetrievalRouter VECTOR mode (query/discovery/RetrievalRouter.kt): scoped
+    text-similarity retrieval over the proposition store, threshold + topK
+    clamp, (score desc, prop_id) ordering."""
+    from dice_spark.operators.router import DiscoveryQuery, retrieve
+
+    props = triples_to_propositions(_triples(spark, sf_dir), CTX)
+    res = retrieve(
+        props,
+        DiscoveryQuery(
+            mode="VECTOR",
+            text="alice nguyen collaborates with project apollo",
+            top_k=50,
+            similarity_threshold=0.9,
+        ),
+        CTX,
+    )
+    return res["propositions"].select("prop_id", "text", "score")
 
 
 # --- training-data pipeline queries (documents / embeddings) ----------------------
@@ -334,6 +394,19 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(queries, emb, k=5).select("query_id", "vec_id", "rank")
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale ANN path, driver-checked: IVF coarse quantization with
+    deterministic literal centroids (both engines embed the same vectors, so
+    cell assignment and the probe join recompute exactly). No cartesian —
+    the query x corpus pair space shrinks to the probed cells."""
+    from dice_spark.operators.similarity import deterministic_centroids, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    cents = deterministic_centroids(dim=64, n_cells=8, seed=7)
+    return ivf_topk(queries, emb, cents, k=5, n_probe=2).select("query_id", "vec_id", "rank")
+
+
 # --- driver contract ---------------------------------------------------------------
 
 
@@ -356,12 +429,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prop_query": q_prop_query,
         "linking_ladder": q_linking_ladder,
         "revision_outcomes": q_revision_outcomes,
+        "consolidation": q_consolidation,
+        "retrieval_vector": q_retrieval_vector,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_stats": q_doc_stats,
         "doc_ngram_dups": q_doc_ngram_dups,
         "doc_minhash_dups": q_doc_minhash_dups,
         "doc_simhash_dups": q_doc_simhash_dups,
         "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 
@@ -379,10 +455,13 @@ def oracle_sql() -> dict[str, str]:
         "prop_query": oracle.q_prop_query(),
         "linking_ladder": oracle.q_linking_ladder(),
         "revision_outcomes": oracle.q_revision_outcomes(),
+        "consolidation": oracle.q_consolidation(),
+        "retrieval_vector": oracle.q_retrieval_vector(),
         "doc_exact_dedup": oracle_docs.q_doc_exact_dedup(),
         "doc_stats": oracle_docs.q_doc_stats(),
         "doc_ngram_dups": oracle_docs.q_doc_ngram_dups(),
         "doc_minhash_dups": oracle_docs.q_doc_minhash_dups(),
         "doc_simhash_dups": oracle_docs.q_doc_simhash_dups(),
         "ann_topk": oracle_docs.q_ann_topk(),
+        "ann_ivf_topk": oracle_docs.q_ann_ivf_topk(),
     }

@@ -70,6 +70,11 @@ def main() -> int:
     timed("doc_minhash_dups", lambda: entry.q_doc_minhash_dups(spark, sf_dir).count())
     timed("doc_simhash_dups", lambda: entry.q_doc_simhash_dups(spark, sf_dir).count())
     timed("ann_topk", lambda: entry.q_ann_topk(spark, sf_dir).count())
+    timed("ann_ivf_topk", lambda: entry.q_ann_ivf_topk(spark, sf_dir).count())
+    timed("prop_query", lambda: entry.q_prop_query(spark, sf_dir).count())
+    timed("linking_ladder", lambda: entry.q_linking_ladder(spark, sf_dir).count())
+    timed("revision_outcomes", lambda: entry.q_revision_outcomes(spark, sf_dir).count())
+    timed("consolidation", lambda: entry.q_consolidation(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -1,0 +1,254 @@
+"""Dream-loop consolidation passes: abstraction, contradiction resolution,
+decay sweep — run in registration order over one ACTIVE snapshot.
+
+Ports operations/consolidation/* (/root/reference/dice/src/main/kotlin/com/
+embabel/dice/operations/consolidation/):
+
+* AbstractionPass (:48-100): level-0 ACTIVE propositions group by resolved
+  entity; groups with >= threshold distinct members abstract into a
+  higher-level proposition; an idempotency guard skips groups already covered
+  by an existing abstraction's sourceIds; unpinned sources retire to
+  SUPERSEDED (pinned are eviction-immune and stay ACTIVE); a source in two
+  qualifying groups is superseded once.
+* ContradictionResolutionPass (:40-92): ACTIVE pairs sharing an entity are
+  classified; for each CONTRADICTORY unordered pair (resolved once), the lower
+  effective confidence loses and retires to CONTRADICTED — unless pinned, in
+  which case it is routed to review instead of silently dropped.
+* DecaySweepPass: delegates to the sweep collector (operators/sweep.py).
+* DefaultDreamLoopOrchestrator (projection/memory/DefaultDreamLoopOrchestrator.kt:46-126):
+  passes run in order over the same snapshot; the change-volume threshold gate
+  (active-count delta >= 10) belongs to the caller who owns the baseline state.
+
+The abstractor is an LLM seam in the reference (PropositionAbstractor); the
+deterministic stand-in summarizes the group's top ``target_count`` texts into
+one level-1 proposition — a real model replaces ``_abstract_text`` only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dice_spark.functions.decay import effective_confidence
+
+ABSTRACTION_THRESHOLD = 5
+ABSTRACTION_TARGET_COUNT = 3
+MAX_LEVEL = 3
+
+
+def abstraction_pass(
+    props: DataFrame,
+    prop_entities: DataFrame,
+    context_id: str,
+    threshold: int = ABSTRACTION_THRESHOLD,
+    target_count: int = ABSTRACTION_TARGET_COUNT,
+    max_level: int = MAX_LEVEL,
+) -> DataFrame:
+    """One abstraction cycle -> props + ``consolidation_outcome`` column
+    (ABSTRACTED new rows | SUPERSEDED retired sources | UNCHANGED).
+
+    props: proposition rows with (prop_id, context_id, text, confidence,
+    decay, pinned, status, level, source_ids array). prop_entities:
+    (prop_id, resolved_id).
+    """
+    level0 = props.filter((F.col("status") == "ACTIVE") & (F.col("level") == 0))
+    member = (
+        prop_entities.filter(F.col("resolved_id").isNotNull())
+        .join(level0.select("prop_id"), "prop_id", "left_semi")
+        .select("resolved_id", "prop_id")
+        .distinct()
+    )
+    groups = (
+        member.groupBy("resolved_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") >= threshold)
+    )
+    qualifying = member.join(groups, "resolved_id")
+
+    # Idempotency guard: a group already covered by an existing higher-level
+    # proposition's sourceIds is skipped (AbstractionPass.kt:66-74).
+    existing = props.filter(F.col("level") > 0).select(
+        F.col("prop_id").alias("abs_id"), F.explode("source_ids").alias("src")
+    )
+    hits = (
+        qualifying.join(existing, qualifying.prop_id == existing.src)
+        .groupBy("resolved_id", "abs_id", "n_members")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == F.col("n_members"))
+        .select("resolved_id")
+        .distinct()
+    )
+    eligible = qualifying.join(hits, "resolved_id", "left_anti")
+
+    # Abstractor stand-in: summarize the group's top target_count texts
+    # (lexicographic — deterministic) into one level-1 proposition.
+    detail = eligible.join(
+        level0.select("prop_id", "text", "confidence", "decay"), "prop_id"
+    )
+    new_level = 1
+    if new_level > max_level:
+        raise ValueError("abstraction level exceeds max_level")
+    abstractions = (
+        detail.groupBy("resolved_id")
+        .agg(
+            F.array_sort(F.collect_set("prop_id")).alias("source_ids"),
+            F.slice(F.array_sort(F.collect_list("text")), 1, target_count).alias("_texts"),
+            F.round(F.avg("confidence"), 6).alias("confidence"),
+            F.round(F.avg("decay"), 6).alias("decay"),
+        )
+        .select(
+            F.md5(F.concat_ws("|", F.lit(context_id), F.lit("abs"), F.col("resolved_id"))).alias("prop_id"),
+            F.lit(context_id).alias("context_id"),
+            F.concat(
+                F.lit("Summary["), F.col("resolved_id"), F.lit("]: "),
+                F.array_join("_texts", " | "),
+            ).alias("text"),
+            "confidence",
+            "decay",
+            F.lit(False).alias("pinned"),
+            F.lit("ACTIVE").alias("status"),
+            F.lit(new_level).alias("level"),
+            "source_ids",
+            F.col("resolved_id").alias("entity_id"),
+            F.lit("ABSTRACTED").alias("consolidation_outcome"),
+        )
+    )
+
+    retired_ids = (
+        eligible.select("prop_id")
+        .distinct()
+        .join(level0.filter(~F.col("pinned")).select("prop_id"), "prop_id", "left_semi")
+    )
+    base_cols = [
+        "prop_id", "context_id", "text", "confidence", "decay", "pinned",
+        "status", "level", "source_ids",
+    ]
+    superseded = (
+        props.join(retired_ids, "prop_id", "left_semi")
+        .select(*base_cols)
+        .withColumn("status", F.lit("SUPERSEDED"))
+        .withColumn("entity_id", F.lit(None).cast("string"))
+        .withColumn("consolidation_outcome", F.lit("SUPERSEDED"))
+    )
+    unchanged = (
+        props.join(retired_ids, "prop_id", "left_anti")
+        .select(*base_cols)
+        .withColumn("entity_id", F.lit(None).cast("string"))
+        .withColumn("consolidation_outcome", F.lit("UNCHANGED"))
+    )
+    return abstractions.unionByName(superseded).unionByName(unchanged)
+
+
+def contradiction_pass(
+    props: DataFrame,
+    as_of: str,
+    classifier=None,
+    mentions: DataFrame | None = None,
+) -> DataFrame:
+    """One contradiction-resolution cycle -> props + ``consolidation_outcome``
+    (CONTRADICTED | REVIEW for pinned losers | UNCHANGED).
+
+    Pairs of ACTIVE propositions sharing an entity (or lowered span) classify
+    through the batched UDF seam; each CONTRADICTORY unordered pair resolves
+    once: the lower effective confidence at ``as_of`` loses (ties keep the
+    lexicographically smaller prop_id — the reference's iteration-order tie
+    made deterministic). Pinned losers route to REVIEW.
+    """
+    from dice_spark.operators.revision import (
+        candidate_pairs_by_overlap,
+        classify_pairs_udf,
+        prop_mentions,
+    )
+
+    active = props.filter(F.col("status") == "ACTIVE")
+    ments = mentions if mentions is not None else prop_mentions(active)
+    pairs = candidate_pairs_by_overlap(ments, ments).filter(
+        F.col("existing_id") < F.col("new_id")  # each unordered pair once
+    )
+    with_text = pairs.join(
+        active.select(F.col("prop_id").alias("existing_id"), F.col("text").alias("existing_text")),
+        "existing_id",
+    ).join(
+        active.select(F.col("prop_id").alias("new_id"), F.col("text").alias("new_text")),
+        "new_id",
+    )
+    classifier = classifier if classifier is not None else classify_pairs_udf
+    contra = classifier(with_text).filter(F.col("relation") == "CONTRADICTORY")
+
+    if "content_revised" in props.columns:
+        eff = F.round(
+            effective_confidence(
+                as_of=F.to_timestamp(F.lit(as_of)),
+                content_revised=F.col("content_revised"),
+                valid_from=F.lit(None).cast("timestamp"),
+                valid_to=F.lit(None).cast("timestamp"),
+                invalidated_at=F.lit(None).cast("timestamp"),
+            ),
+            6,
+        )
+    else:
+        # No decay anchor on this store -> effective == raw confidence.
+        eff = F.round(F.col("confidence"), 6)
+    scored = active.select("prop_id", "pinned", eff.alias("_eff"))
+    a = scored.select(
+        F.col("prop_id").alias("existing_id"), F.col("_eff").alias("eff_a"), F.col("pinned").alias("pin_a")
+    )
+    b = scored.select(
+        F.col("prop_id").alias("new_id"), F.col("_eff").alias("eff_b"), F.col("pinned").alias("pin_b")
+    )
+    judged = contra.join(a, "existing_id").join(b, "new_id")
+    loser = F.when(F.col("eff_a") < F.col("eff_b"), F.col("existing_id")).when(
+        F.col("eff_b") < F.col("eff_a"), F.col("new_id")
+    ).otherwise(F.least("existing_id", "new_id"))
+    loser_pin = F.when(loser == F.col("existing_id"), F.col("pin_a")).otherwise(F.col("pin_b"))
+    losers = judged.select(
+        loser.alias("prop_id"),
+        F.when(loser_pin, "REVIEW").otherwise("CONTRADICTED").alias("consolidation_outcome"),
+    ).distinct()
+
+    flagged = props.join(losers, "prop_id", "left")
+    return flagged.withColumn(
+        "status",
+        F.when(F.col("consolidation_outcome") == "CONTRADICTED", "CONTRADICTED").otherwise(
+            F.col("status")
+        ),
+    ).withColumn(
+        "consolidation_outcome", F.coalesce("consolidation_outcome", F.lit("UNCHANGED"))
+    )
+
+
+def dream_loop(
+    props: DataFrame,
+    prop_entities: DataFrame,
+    context_id: str,
+    as_of: str,
+    threshold: int = ABSTRACTION_THRESHOLD,
+) -> dict[str, DataFrame]:
+    """One consolidation cycle in registration order (abstraction ->
+    contradiction resolution), each pass reading the previous pass's output —
+    the orchestrator's single-snapshot, single-write contract. Returns the
+    final store plus per-pass outcome counters. The change-volume threshold
+    gate (active delta >= 10 since the last cycle) is the caller's state."""
+    after_abs = abstraction_pass(props, prop_entities, context_id, threshold=threshold)
+    store1 = after_abs.drop("consolidation_outcome")
+    # Mention relation for the revised store: original props keep their
+    # resolved ids; an abstraction mentions its group entity.
+    ments = prop_entities.select(
+        "prop_id", F.lit(None).cast("string").alias("span"), "resolved_id"
+    ).unionByName(
+        store1.filter(F.col("entity_id").isNotNull()).select(
+            "prop_id", F.lit(None).cast("string").alias("span"),
+            F.col("entity_id").alias("resolved_id"),
+        )
+    )
+    after_contra = contradiction_pass(store1.drop("entity_id"), as_of, mentions=ments)
+    counters = (
+        after_abs.groupBy("consolidation_outcome").agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("pass", F.lit("abstraction"))
+        .unionByName(
+            after_contra.groupBy("consolidation_outcome")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("pass", F.lit("contradiction"))
+        )
+    )
+    return {"store": after_contra, "counters": counters}

@@ -33,6 +33,9 @@ from pyspark.sql.window import Window
 
 from dice_spark.synth import ORGS, PROJECTS, RELATIONS
 
+# Cap on per-proposition grounding/source id lists (rank-before-collect).
+MAX_GROUNDING = 100
+
 # Output schema of both extractors (one row per extracted triple candidate).
 TRIPLES_SCHEMA = (
     "chunk_id string, conv_id string, turn_idx int, sentence string, "
@@ -221,8 +224,21 @@ def triples_to_propositions(triples: DataFrame, context_id: str) -> DataFrame:
     min(c + 0.3*c_new, 0.99) applied per duplicate (LlmPropositionReviser
     mergePropositions, revision/LlmPropositionReviser.kt:666-684).
     """
+    from pyspark.sql.window import Window
+
     ctx = F.lit(context_id)
-    base = triples.groupBy("sentence").agg(
+    # Grounding/source arrays are capped at the MAX_GROUNDING smallest ids
+    # (rank-before-collect; the window shares the groupBy clustering so the
+    # cap adds no shuffle): a boilerplate sentence in a 100 TB corpus grounds
+    # in millions of chunks, and an unbounded collect_set would turn one
+    # proposition row into megabytes that every downstream shuffle re-copies.
+    # occurrences / merge arithmetic stay exact — only the id lists truncate.
+    g_rn = F.row_number().over(Window.partitionBy("sentence").orderBy("chunk_id"))
+    s_rn = F.row_number().over(Window.partitionBy("sentence", "conv_id").orderBy("chunk_id"))
+    t = triples.withColumn("_g", g_rn).withColumn(
+        "_s", F.when(s_rn == 1, F.dense_rank().over(Window.partitionBy("sentence").orderBy("conv_id")))
+    )
+    base = t.groupBy("sentence").agg(
         F.first("predicate").alias("predicate"),
         F.first("subj_span").alias("subj_span"),
         F.first("obj_span").alias("obj_span"),
@@ -231,8 +247,12 @@ def triples_to_propositions(triples: DataFrame, context_id: str) -> DataFrame:
         F.first("confidence").alias("base_confidence"),
         F.first("decay").alias("base_decay"),
         F.count(F.lit(1)).alias("occurrences"),
-        F.array_sort(F.collect_set("chunk_id")).alias("grounding"),
-        F.array_sort(F.collect_set("conv_id")).alias("source_ids"),
+        F.array_sort(
+            F.collect_set(F.when(F.col("_g") <= MAX_GROUNDING, F.col("chunk_id")))
+        ).alias("grounding"),
+        F.array_sort(
+            F.collect_set(F.when(F.col("_s") <= MAX_GROUNDING, F.col("conv_id")))
+        ).alias("source_ids"),
     )
     # n-1 merges: conf' = min(c * (1 + 0.3*(n-1)), 0.99); decay' = d * 0.7^(n-1)
     n = F.col("occurrences").cast("double")

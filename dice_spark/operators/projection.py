@@ -105,6 +105,52 @@ def projection_records(classified: DataFrame, run_id: str) -> DataFrame:
     )
 
 
+def grounding_edges(props: DataFrame, nodes: DataFrame, node_id_col: str = "node_id") -> dict:
+    """Wire prop -[GROUNDED_IN]-> source-node edges
+    (projection/grounding/GroundingWiringService.kt:57-69,
+    DefaultGroundingResolver.kt:45-53): each distinct grounding id resolves
+    exactly against the node registry, else by namespace suffix (the part
+    after the FIRST ':', matching node ids that END WITH it — bare ids never
+    suffix-match, so legacy chunk hashes stay skipped). Unresolvable ids are
+    skipped, not errors.
+
+    Returns {"edges", "report"}: edges carry edge_ref (the MERGE key, so
+    re-wiring is idempotent); report is one row of attempted/written/skipped.
+
+    Scale note: the suffix pass is an endswith join against the registry —
+    the registry is vocabulary-sized and broadcast; at 10^7+ nodes block both
+    sides on the last path segment first.
+    """
+    g = (
+        props.select("prop_id", F.explode(F.array_distinct("grounding")).alias("gid"))
+        .filter(F.length("gid") > 0)
+    )
+    reg = nodes.select(F.col(node_id_col).alias("target_id"))
+    exact = g.join(F.broadcast(reg), g.gid == reg.target_id)
+    missed = g.join(exact.select("prop_id", "gid"), ["prop_id", "gid"], "left_anti")
+    suffix = F.expr("substring(gid, instr(gid, ':') + 1)")
+    with_suffix = missed.withColumn("_sfx", suffix).filter(
+        F.col("gid").contains(":") & (F.length("_sfx") > 0) & (F.col("_sfx") != F.col("gid"))
+    )
+    by_suffix = with_suffix.join(
+        F.broadcast(reg), reg.target_id.endswith(F.col("_sfx"))
+    ).drop("_sfx")
+    resolved = exact.unionByName(by_suffix)
+    edges = resolved.select(
+        F.col("prop_id").alias("source_id"),
+        "target_id",
+        F.lit("GROUNDED_IN").alias("edge_type"),
+        F.concat(F.col("prop_id"), F.lit("-[GROUNDED_IN]->"), F.col("target_id")).alias("edge_ref"),
+    ).distinct()
+    unresolved = g.join(resolved.select("prop_id", "gid").distinct(), ["prop_id", "gid"], "left_anti")
+    report = (
+        g.select(F.count(F.lit(1)).alias("attempted"))
+        .crossJoin(resolved.select(F.count(F.lit(1)).alias("written")))
+        .crossJoin(unresolved.select(F.count(F.lit(1)).alias("skipped")))
+    )
+    return {"edges": edges, "report": report}
+
+
 TERMINAL_STATUSES = ["SUPERSEDED", "CONTRADICTED", "STALE"]
 
 

@@ -223,19 +223,70 @@ def prop_mentions(props: DataFrame) -> DataFrame:
     )
 
 
+VECTOR_AUTO_MERGE = 0.95   # LlmPropositionReviser.kt:306-319
+VECTOR_CANDIDATE_FLOOR = 0.5  # :320-339 (LSH topK candidates >= 0.5 go to the LLM)
+VECTOR_TOP_K = 5
+
+
+def vector_fast_path(pairs_with_text: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Embedding fast path over candidate pairs
+    (LlmPropositionReviser.kt:306-339): cosine >= VECTOR_AUTO_MERGE
+    auto-classifies as IDENTICAL (merged without a classifier call); pairs in
+    [VECTOR_CANDIDATE_FLOOR, auto) are kept — at most VECTOR_TOP_K per
+    incoming proposition, best-first — for the classifier; everything below
+    the floor is dropped before any expensive classification.
+
+    The embedding is the deterministic letter-count stand-in
+    (linking.char_embedding over canonicalized text); a real embedding column
+    swaps in without changing the dataflow. Returns (auto_identical,
+    to_classify) — both subsets of the input pairs.
+    """
+    from pyspark.sql.window import Window
+
+    from dice_spark.operators.dedup import cosine_expr
+    from dice_spark.operators.linking import char_embedding
+
+    cos = F.round(
+        cosine_expr(
+            char_embedding(canonicalize_text("existing_text")),
+            char_embedding(canonicalize_text("new_text")),
+        ),
+        6,
+    )
+    scored = pairs_with_text.withColumn("_cos", cos).localCheckpoint(eager=True)
+    auto = (
+        scored.filter(F.col("_cos") >= VECTOR_AUTO_MERGE)
+        .withColumn("relation", F.lit("IDENTICAL"))
+        .withColumnRenamed("_cos", "similarity")
+    )
+    w = Window.partitionBy("new_id").orderBy(F.desc("_cos"), F.asc("existing_id"))
+    to_classify = (
+        scored.filter((F.col("_cos") >= VECTOR_CANDIDATE_FLOOR) & (F.col("_cos") < VECTOR_AUTO_MERGE))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= VECTOR_TOP_K)
+        .drop("_rn", "_cos")
+    )
+    return auto, to_classify
+
+
 def revise_batch(
     existing: DataFrame,
     incoming: DataFrame,
     mentions_existing: DataFrame | None = None,
     mentions_incoming: DataFrame | None = None,
     classifier=None,
+    use_vector_fast_path: bool = False,
 ) -> DataFrame:
     """The full revision stage: candidates -> classify seam -> revise.
 
     Mirrors the reference write path (PropositionPipeline.kt:254-281: every
     store write revises against existing propositions): entity-overlap
-    candidate generation, the batched classification UDF, then the
-    merge/reinforce/contradict arithmetic of ``revise``.
+    candidate generation, optionally the embedding fast path
+    (``use_vector_fast_path`` — auto-merge at cosine >= 0.95, top-5
+    candidates >= 0.5 to the classifier, rest dropped), the batched
+    classification UDF, then the merge/reinforce/contradict arithmetic of
+    ``revise``. IDENTICAL pairs from the fast path reinforce like
+    high-similarity SIMILAR pairs would merge — the reviser's auto-merge.
     """
     mentions_existing = mentions_existing if mentions_existing is not None else prop_mentions(existing)
     mentions_incoming = mentions_incoming if mentions_incoming is not None else prop_mentions(incoming)
@@ -248,7 +299,20 @@ def revise_batch(
         "new_id",
     )
     classifier = classifier if classifier is not None else classify_pairs_udf
-    return revise(existing, incoming, classifier(with_text))
+    if use_vector_fast_path:
+        auto, to_classify = vector_fast_path(with_text)
+        classified = classifier(to_classify).unionByName(
+            # auto-identical pairs merge without a classifier call: surface
+            # them as SIMILAR at their cosine so revise() reinforces them.
+            auto.select(
+                "existing_id", "new_id",
+                F.lit("SIMILAR").alias("relation"),
+                F.col("similarity"),
+            )
+        )
+    else:
+        classified = classifier(with_text)
+    return revise(existing, incoming, classified)
 
 
 def entity_overlap_prefilter(candidate_pairs: DataFrame, mentions_a: DataFrame, mentions_b: DataFrame) -> DataFrame:

@@ -63,6 +63,23 @@ def _nearest_centroid(vec, centroids: list[list[float]]):
     return best_idx
 
 
+def deterministic_centroids(dim: int, n_cells: int = 8, seed: int = 7) -> list[list[float]]:
+    """Seeded random unit-ish centroids — literal, engine-portable.
+
+    For the oracle-checked IVF query: both Spark and the DuckDB oracle embed
+    the SAME literal centroid vectors, so cell assignment and the probe join
+    are exactly recomputable. Random hyper-directions partition the sphere like
+    a coarse quantizer; a trained k-means (train_centroids) gives better
+    recall but its floating-point iteration is not reproducible across engines.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        [round(rnd.gauss(0, 1), 6) for _ in range(dim)] for _ in range(n_cells)
+    ]
+
+
 def train_centroids(corpus: DataFrame, n_cells: int = 8, vec_col: str = "embedding", seed: int = 42) -> list[list[float]]:
     """Deterministic k-means centroids (pyspark.ml KMeans, fixed seed)."""
     from pyspark.ml.clustering import KMeans

@@ -51,6 +51,20 @@ def decay_sweep(props: DataFrame, as_of: Column, retire_below: float = RETIRE_BE
     return updated, records
 
 
+def collector_run_header(records: DataFrame, run_id: str, dry_run: bool, as_of: Column) -> DataFrame:
+    """The CollectorRun header row the reference persists alongside the
+    per-proposition records (DefaultCollectorRunner: one run summary with the
+    run id, mode, and counts). One aggregate over the records relation."""
+    return records.agg(
+        F.lit(run_id).alias("run_id"),
+        F.lit(bool(dry_run)).alias("dry_run"),
+        as_of.alias("as_of"),
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.when(F.col("lifecycle") == "MARKED", 1).otherwise(0)).alias("n_marked"),
+        F.sum(F.when(F.col("lifecycle") == "SWEPT", 1).otherwise(0)).alias("n_swept"),
+    )
+
+
 def hysteresis_transition(props: DataFrame, as_of: Column) -> DataFrame:
     """DecayStatusPolicy: ACTIVE->STALE below 0.1; STALE->ACTIVE above 0.2."""
     p = with_effective_confidence(props, as_of)

@@ -270,13 +270,20 @@ def q_propositions() -> str:
     )
     return base_ctes() + f""",
 prov AS (
-  SELECT t.sentence,
+  -- mirror of the Spark-side MAX_GROUNDING=100 cap (rank-before-collect on
+  -- chunk_id): provenance derives from the capped grounding list
+  SELECT r.sentence,
          list_sort(list(DISTINCT 'content:' || sha256(c.text))) AS prov_list
-  FROM typed_triples t
+  FROM (
+    SELECT t.sentence, t.chunk_id,
+           row_number() OVER (PARTITION BY t.sentence ORDER BY t.chunk_id) AS rn
+    FROM typed_triples t
+  ) r
   JOIN chunks c
     ON (c.conv_id || ':' || cast(c.window_start as varchar) || ':' ||
-        cast(c.window_end as varchar)) = t.chunk_id
-  GROUP BY t.sentence
+        cast(c.window_end as varchar)) = r.chunk_id
+  WHERE r.rn <= 100
+  GROUP BY r.sentence
 )
 SELECT p.prop_id, p.context_id, p.text, p.predicate, p.subj_span, p.obj_span,
        p.subj_type, p.obj_type, p.confidence, p.decay, p.reinforce_count,
@@ -529,7 +536,9 @@ GROUP BY 1 ORDER BY 1
 def q_revision_outcomes() -> str:
     """Two-batch revision oracle (mirror of revision.revise_batch feeding
     revision.revise): conversations split by user-id parity into an 'existing'
-    store (even) and an 'incoming' batch (odd); candidate pairs share a
+    store (~90%) and a small 'incoming' batch (user id ending '1', ~10% — the
+    reference revises small per-ingest batches against the store, so candidate
+    volume stays incoming-bounded); candidate pairs share a
     lowered mention span; the classifier is the deterministic token-Jaccard /
     negation rule of classify_pairs_udf; outcomes follow LlmPropositionReviser
     arithmetic (:666-708 merge/reinforce, :513-550 contradict)."""
@@ -541,7 +550,7 @@ def q_revision_outcomes() -> str:
     neg = "regexp_matches(lower(text), '\\b(not|never|no longer)\\b')"
     return base_ctes() + f""",
 bprops AS MATERIALIZED (
-  SELECT cast(substr(conv_id, -1, 1) as int) % 2 AS batch,
+  SELECT case when substr(conv_id, -1, 1) = '1' then 1 else 0 end AS batch,
          md5('{CTX}' || '|' || sentence) AS prop_id,
          sentence AS text,
          min(subj_span) AS subj_span,
@@ -620,6 +629,67 @@ outcomes AS (
 )
 SELECT revision_outcome, count(*) AS n, round(sum(confidence), 6) AS sum_conf
 FROM outcomes GROUP BY 1
+"""
+
+
+def q_consolidation(threshold: int = 5) -> str:
+    """AbstractionPass oracle (mirror of consolidation.abstraction_pass over
+    the fresh store, where no prior abstraction exists so the idempotency
+    guard is pass-through): level-0 ACTIVE propositions group by resolved
+    entity; groups with >= threshold distinct members produce one abstraction
+    (confidence = round(avg member confidence, 6)) and retire their unpinned
+    members to SUPERSEDED."""
+    return base_ctes() + canonicalization_ctes() + edges_ctes() + f""",
+pm AS MATERIALIZED (
+  -- explicit DISTINCT over UNION ALL: inside this recursive-CTE plan,
+  -- DuckDB's bare UNION left a handful of duplicate pairs un-deduplicated
+  SELECT DISTINCT prop_id, rid FROM (
+    SELECT prop_id, subj_id AS rid FROM resolved_props WHERE subj_id IS NOT NULL
+    UNION ALL
+    SELECT prop_id, obj_id FROM resolved_props WHERE obj_id IS NOT NULL
+  )
+),
+grp AS (
+  SELECT rid, count(DISTINCT prop_id) AS n_members
+  FROM pm GROUP BY rid HAVING count(DISTINCT prop_id) >= {threshold}
+),
+elig AS (SELECT DISTINCT pm.prop_id FROM pm JOIN grp USING (rid)),
+abs_rows AS (
+  SELECT round(avg(p.confidence), 6) AS confidence
+  FROM pm JOIN grp USING (rid) JOIN propositions p USING (prop_id)
+  GROUP BY pm.rid
+),
+outcomes AS (
+  SELECT 'ABSTRACTED' AS consolidation_outcome, confidence FROM abs_rows
+  UNION ALL
+  SELECT 'SUPERSEDED', p.confidence FROM propositions p JOIN elig USING (prop_id)
+  UNION ALL
+  SELECT 'UNCHANGED', p.confidence FROM propositions p ANTI JOIN elig USING (prop_id)
+)
+SELECT consolidation_outcome, count(*) AS n, round(sum(confidence), 6) AS sum_conf
+FROM outcomes GROUP BY 1
+"""
+
+
+def q_retrieval_vector(
+    text: str = "alice nguyen collaborates with project apollo",
+    threshold: float = 0.9,
+    top_k: int = 50,
+) -> str:
+    """RetrievalRouter VECTOR-mode oracle: letter-count-cosine similarity of
+    each proposition's lowered text against the query text, threshold filter,
+    (score desc, prop_id asc) order, topK clamp — mirror of router.retrieve."""
+    emb_p = _char_emb_sql("lower(text)")
+    emb_q = _char_emb_sql(f"'{text}'")
+    return base_ctes() + f""",
+scored AS (
+  SELECT prop_id, text,
+         round(list_cosine_similarity({emb_p}, {emb_q}), 6) AS score
+  FROM propositions
+)
+SELECT prop_id, text, score FROM scored
+WHERE score >= {threshold}
+ORDER BY score DESC, prop_id ASC LIMIT {top_k}
 """
 
 

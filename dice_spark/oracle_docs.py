@@ -165,6 +165,59 @@ SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}
 """
 
 
+def q_ann_ivf_topk(
+    k: int = 5, max_query_id: int = 10, n_cells: int = 8, n_probe: int = 2,
+    dim: int = 64, seed: int = 7,
+) -> str:
+    """IVF oracle (counterpart of similarity.ivf_topk with
+    deterministic_centroids): corpus vectors assign to the max-dot centroid
+    (FIRST index wins ties, matching the Spark strict-> comparison); each query
+    probes the n_probe best cells ordered (dot DESC, cell DESC) — the exact
+    order of Spark's reverse(array_sort(struct(dot, cell))); exact cosine only
+    within probed cells."""
+    from dice_spark.operators.similarity import deterministic_centroids
+
+    cents = deterministic_centroids(dim=dim, n_cells=n_cells, seed=seed)
+    rows = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (i, ", ".join(repr(x) for x in c))
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cents AS (SELECT * FROM (VALUES {rows}) AS c(cell, cv)),
+assigned AS (
+  SELECT e.vec_id, e.v,
+         (SELECT c.cell FROM cents c
+          ORDER BY list_dot_product(e.v, c.cv) DESC, c.cell ASC LIMIT 1) AS cell
+  FROM e
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {max_query_id}),
+probes AS (
+  SELECT * FROM (
+    SELECT q.query_id, q.qv, c.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qv, c.cv) DESC, c.cell DESC
+           ) AS pr
+    FROM q CROSS JOIN cents c
+  ) WHERE pr <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_cosine_similarity(p.qv, a.v), 6) AS cosine
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+  WHERE p.query_id <> a.vec_id
+)
+SELECT query_id, vec_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
 def q_ann_topk(k: int = 5, max_query_id: int = 10) -> str:
     return f"""
 WITH e AS (

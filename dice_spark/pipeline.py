@@ -46,6 +46,7 @@ def run_pipeline(
     shuffle_partitions: int | None = None,
     spill_dir: str | None = None,
     existing_props: DataFrame | None = None,
+    existing_edges: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """spill_dir: when set, shared intermediates (extraction output) are
     materialized as parquet under this path instead of a deserialized
@@ -123,6 +124,12 @@ def run_pipeline(
 
     classified = classify_projection(props, relations, min_confidence)
     edges = project_edges(classified)
+    if existing_edges is not None:
+        # Reconcile against the durable graph: an edge_ref already in the
+        # store is ADOPTED (reuse + lineage), unseen refs are PROJECTED.
+        from dice_spark.operators.projection import reconcile_edges
+
+        edges = reconcile_edges(edges, existing_edges)
     records = projection_records(classified, run_id)
 
     # Revision stage (reference write path, PropositionPipeline.kt:254-281):

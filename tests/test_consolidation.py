@@ -1,0 +1,112 @@
+"""Dream-loop consolidation passes: AbstractionPass grouping/idempotency/
+pinned immunity, ContradictionResolutionPass weaker-loses + pinned review,
+orchestrated cycle (AbstractionPass.kt:48-100, ContradictionResolutionPass.kt:40-92)."""
+
+from __future__ import annotations
+
+from dice_spark.operators.consolidation import (
+    abstraction_pass,
+    contradiction_pass,
+    dream_loop,
+)
+
+PROP_SCHEMA = (
+    "prop_id string, context_id string, text string, confidence double, "
+    "decay double, pinned boolean, status string, level int, source_ids array<string>"
+)
+
+
+def _props(spark, rows):
+    return spark.createDataFrame(rows, PROP_SCHEMA)
+
+
+def _pe(spark, rows):
+    return spark.createDataFrame(rows, "prop_id string, resolved_id string")
+
+
+def test_abstraction_groups_and_supersedes(spark):
+    # five level-0 ACTIVE props on e1 -> abstract; p6 on e2 (below threshold).
+    rows = [
+        (f"p{i}", "c", f"fact {i} about alice", 0.8, 0.1, False, "ACTIVE", 0, [])
+        for i in range(1, 6)
+    ] + [("p6", "c", "lone fact", 0.9, 0.0, False, "ACTIVE", 0, [])]
+    pe = _pe(spark, [(f"p{i}", "e1") for i in range(1, 6)] + [("p6", "e2")])
+    out = abstraction_pass(_props(spark, rows), pe, "c").collect()
+    by_outcome = {}
+    for r in out:
+        by_outcome.setdefault(r["consolidation_outcome"], []).append(r)
+    abs_rows = by_outcome["ABSTRACTED"]
+    assert len(abs_rows) == 1 and abs_rows[0]["level"] == 1
+    assert sorted(abs_rows[0]["source_ids"]) == [f"p{i}" for i in range(1, 6)]
+    assert abs_rows[0]["text"].startswith("Summary[e1]: ")
+    assert {r["prop_id"] for r in by_outcome["SUPERSEDED"]} == {f"p{i}" for i in range(1, 6)}
+    assert all(r["status"] == "SUPERSEDED" for r in by_outcome["SUPERSEDED"])
+    assert {r["prop_id"] for r in by_outcome["UNCHANGED"]} == {"p6"}
+
+
+def test_abstraction_idempotency_guard_and_pinned(spark):
+    rows = [
+        (f"p{i}", "c", f"fact {i}", 0.8, 0.1, i == 1, "ACTIVE", 0, [])
+        for i in range(1, 6)
+    ] + [
+        # existing abstraction already covering the whole group -> guard skips
+        ("a1", "c", "Summary", 0.8, 0.1, False, "ACTIVE", 1, [f"p{i}" for i in range(1, 6)]),
+    ]
+    pe = _pe(spark, [(f"p{i}", "e1") for i in range(1, 6)])
+    out = abstraction_pass(_props(spark, rows), pe, "c").collect()
+    assert all(r["consolidation_outcome"] == "UNCHANGED" for r in out)
+
+    # without the existing abstraction, the pinned member p1 stays ACTIVE
+    out2 = abstraction_pass(_props(spark, rows[:5]), pe, "c").collect()
+    got = {r["prop_id"]: r for r in out2 if r["consolidation_outcome"] != "ABSTRACTED"}
+    assert got["p1"]["status"] == "ACTIVE" and got["p1"]["consolidation_outcome"] == "UNCHANGED"
+    assert got["p2"]["status"] == "SUPERSEDED"
+
+
+def test_contradiction_weaker_loses_and_pinned_review(spark):
+    rows = [
+        ("p1", "c", "Alice is employed by Acme.", 0.9, 0.0, False, "ACTIVE", 0, []),
+        ("p2", "c", "Alice is not employed by Acme.", 0.4, 0.0, False, "ACTIVE", 0, []),
+        ("p3", "c", "Bob mentors Carol.", 0.9, 0.0, False, "ACTIVE", 0, []),
+        ("p4", "c", "Bob does not mentors Carol.", 0.95, 0.0, True, "ACTIVE", 0, []),
+    ]
+    props = _props(spark, rows)
+    mentions = spark.createDataFrame(
+        [("p1", "alice", None), ("p2", "alice", None), ("p3", "bob", None), ("p4", "bob", None)],
+        "prop_id string, span string, resolved_id string",
+    )
+    out = {r["prop_id"]: r for r in contradiction_pass(props, "2024-06-01 00:00:00", mentions=mentions).collect()}
+    # p2 is the weaker side of a contradictory pair -> CONTRADICTED
+    assert out["p2"]["consolidation_outcome"] == "CONTRADICTED" and out["p2"]["status"] == "CONTRADICTED"
+    assert out["p1"]["consolidation_outcome"] == "UNCHANGED"
+    # p3 is weaker than the pinned p4? No: p3 (0.9) < p4 (0.95) -> p3 loses (not pinned) -> CONTRADICTED
+    assert out["p3"]["consolidation_outcome"] == "CONTRADICTED"
+    assert out["p4"]["consolidation_outcome"] == "UNCHANGED"
+
+
+def test_contradiction_pinned_loser_routes_to_review(spark):
+    rows = [
+        ("p1", "c", "Dana leads Globex.", 0.9, 0.0, False, "ACTIVE", 0, []),
+        ("p2", "c", "Dana does not leads Globex.", 0.3, 0.0, True, "ACTIVE", 0, []),
+    ]
+    mentions = spark.createDataFrame(
+        [("p1", "dana", None), ("p2", "dana", None)],
+        "prop_id string, span string, resolved_id string",
+    )
+    out = {r["prop_id"]: r for r in contradiction_pass(_props(spark, rows), "2024-06-01 00:00:00", mentions=mentions).collect()}
+    # pinned loser is conflict-protected: REVIEW, status untouched
+    assert out["p2"]["consolidation_outcome"] == "REVIEW" and out["p2"]["status"] == "ACTIVE"
+
+
+def test_dream_loop_cycle(spark):
+    rows = [
+        (f"p{i}", "c", f"fact {i} about erin", 0.8, 0.1, False, "ACTIVE", 0, [])
+        for i in range(1, 6)
+    ]
+    pe = _pe(spark, [(f"p{i}", "e1") for i in range(1, 6)])
+    out = dream_loop(_props(spark, rows), pe, "c", "2024-06-01 00:00:00")
+    counts = {(r["pass"], r["consolidation_outcome"]): r["n"] for r in out["counters"].collect()}
+    assert counts[("abstraction", "ABSTRACTED")] == 1
+    assert counts[("abstraction", "SUPERSEDED")] == 5
+    store = out["store"].collect()
+    assert len(store) == 6  # 5 superseded + 1 abstraction

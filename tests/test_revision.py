@@ -122,3 +122,35 @@ def test_entity_overlap_prefilter(spark):
     # BroadcastNestedLoopJoin / CartesianProduct.
     plan = entity_overlap_prefilter(pairs, mentions_a, mentions_b)._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_vector_fast_path_splits(spark):
+    from dice_spark.operators.revision import vector_fast_path
+
+    pairs = spark.createDataFrame(
+        [
+            ("e1", "n1", "Alice works with Bob.", "alice WORKS with bob"),   # cosine 1.0 -> auto
+            ("e2", "n2", "Alice works with Bob.", "Bob collaborates Alice"),# mid -> classify
+            ("e3", "n3", "Alice works with Bob.", "zzzz qqqq xxxx"),        # below floor -> drop
+        ],
+        "existing_id string, new_id string, existing_text string, new_text string",
+    )
+    auto, to_classify = vector_fast_path(pairs)
+    assert {r["existing_id"] for r in auto.collect()} == {"e1"}
+    assert auto.collect()[0]["relation"] == "IDENTICAL"
+    assert {r["existing_id"] for r in to_classify.collect()} == {"e2"}
+
+
+def test_revise_batch_vector_fast_path_reinforces(spark):
+    from dice_spark.operators.revision import revise_batch
+
+    existing = _props(spark, [("p1", "c", "Alice works with Bob.", 0.8, 0.4, False, "ACTIVE", 0, [])])
+    # Same letters, different surface: canonical-text fast path misses,
+    # embedding fast path auto-merges (reinforce arithmetic).
+    incoming = _props(spark, [("n1", "c", "bob works with alice", 0.7, 0.5, False, "ACTIVE", 0, [])])
+    mentions_e = spark.createDataFrame([("p1", "alice", None)], "prop_id string, span string, resolved_id string")
+    mentions_i = spark.createDataFrame([("n1", "alice", None)], "prop_id string, span string, resolved_id string")
+    out = {r["prop_id"]: r for r in revise_batch(
+        existing, incoming, mentions_e, mentions_i, use_vector_fast_path=True
+    ).collect()}
+    assert out["p1"]["revision_outcome"] == "REINFORCED"

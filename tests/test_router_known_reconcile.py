@@ -136,3 +136,55 @@ def test_named_turn_formatter_roundtrip(spark):
     assert text == "Hunter (user): Hello there.\n\nassistant: Hi!"
     turns = {r["turn_idx"]: (r["role"], r["text"]) for r in split_turns(chunks).collect()}
     assert turns == {0: ("user", "Hello there."), 1: ("assistant", "Hi!")}
+
+
+def test_grounding_edges_exact_and_suffix(spark):
+    from dice_spark.operators.projection import grounding_edges
+
+    props = spark.createDataFrame(
+        [("p1", ["chunk:abc", "orphanhash"]), ("p2", ["def"])],
+        "prop_id string, grounding array<string>",
+    )
+    nodes = spark.createDataFrame(
+        [("chunk:abc",), ("ns:nested:def",), ("store:abc",)], "node_id string"
+    )
+    out = grounding_edges(props, nodes)
+    refs = {r["edge_ref"] for r in out["edges"].collect()}
+    # exact match wins for chunk:abc (no suffix fan-out once exact hits);
+    # bare ids ("orphanhash", "def") never suffix-match -> skipped.
+    assert refs == {"p1-[GROUNDED_IN]->chunk:abc"}
+    rep = out["report"].collect()[0]
+    assert (rep["attempted"], rep["written"], rep["skipped"]) == (3, 1, 2)
+
+
+def test_grounding_suffix_resolution(spark):
+    from dice_spark.operators.projection import grounding_edges
+
+    props = spark.createDataFrame([("p1", ["legacy:xyz"])], "prop_id string, grounding array<string>")
+    nodes = spark.createDataFrame([("modern:ns:xyz",)], "node_id string")
+    out = grounding_edges(props, nodes)
+    assert {r["target_id"] for r in out["edges"].collect()} == {"modern:ns:xyz"}
+
+
+def test_sweep_collector_run_header(spark):
+    from pyspark.sql import functions as F
+
+    from dice_spark.operators.sweep import collector_run_header, decay_sweep
+
+    import datetime as dt
+
+    props = spark.createDataFrame(
+        [
+            ("p1", 0.9, 0.0, False, "ACTIVE", dt.datetime(2024, 1, 1)),
+            ("p2", 0.2, 0.9, False, "ACTIVE", dt.datetime(2024, 1, 1)),
+        ],
+        "prop_id string, confidence double, decay double, pinned boolean, status string, content_revised timestamp",
+    )
+    props = props.withColumn("valid_from", F.lit(None).cast("timestamp")) \
+        .withColumn("valid_to", F.lit(None).cast("timestamp")) \
+        .withColumn("invalidated_at", F.lit(None).cast("timestamp"))
+    as_of = F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+    _, records = decay_sweep(props, as_of, run_id="r1")
+    hdr = collector_run_header(records, "r1", dry_run=False, as_of=as_of).collect()[0]
+    assert hdr["run_id"] == "r1" and hdr["n_records"] == 1
+    assert hdr["n_swept"] == 1 and hdr["n_marked"] == 0
