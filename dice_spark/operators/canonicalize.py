@@ -129,17 +129,21 @@ def connected_components(
     """
     # Materialize inputs once — every iteration reads them, and without this
     # each convergence check would recompute the whole upstream pipeline.
+    # Lazy checkpoints throughout the loop: each one is materialized (and its
+    # lineage truncated) by the NEXT full-scan action instead of a dedicated
+    # eager job — one scheduler round-trip per iteration instead of two, which
+    # is the dominant fixed cost of the loop (the tables are vocabulary-sized).
     sym = (
         edges.select(F.col("a"), F.col("b"))
         .unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = nodes.select(F.col(node_col).alias("id")).withColumn("component", F.col("id"))
-    if sym.limit(1).count() == 0:
+    if sym.count() == 0:
         # No similarity edges: every node is its own component. Skipping the
         # loop saves ~10 scheduler round-trips of fixed cost per run.
         return labels.withColumnRenamed("id", node_col)
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=False)
     converged = False
     for _ in range(max_iter):
         neigh = (
@@ -154,11 +158,12 @@ def connected_components(
                 F.least(F.col("component"), F.coalesce("neigh_min", F.col("component"))).alias("component"),
                 (F.coalesce("neigh_min", F.col("component")) < F.col("component")).alias("changed"),
             )
-            # Eager checkpoint truncates iterative lineage; one pass both
-            # materializes the new labels and serves the convergence count.
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        n_changed = new_labels.filter(F.col("changed")).limit(1).count()
+        # Full count (not limit(1)) so every partition of new_labels is
+        # computed in this one job — materializing the lazy checkpoint as a
+        # side effect of the convergence check.
+        n_changed = new_labels.filter(F.col("changed")).count()
         labels = new_labels.drop("changed")
         if n_changed == 0:
             converged = True

@@ -233,10 +233,20 @@ def triples_to_propositions(triples: DataFrame, context_id: str) -> DataFrame:
     # in millions of chunks, and an unbounded collect_set would turn one
     # proposition row into megabytes that every downstream shuffle re-copies.
     # occurrences / merge arithmetic stay exact — only the id lists truncate.
+    # All three window specs share partitionBy("sentence") so Spark plans ONE
+    # exchange (re-sorted per ordering, map-side) and the groupBy below reuses
+    # the same clustering — the whole dedup is a single shuffle. first-row-of-
+    # conversation is detected with lag() on the (conv_id, chunk_id) sort
+    # instead of a second row_number over (sentence, conv_id), which would
+    # force a second exchange on the wider key.
     g_rn = F.row_number().over(Window.partitionBy("sentence").orderBy("chunk_id"))
-    s_rn = F.row_number().over(Window.partitionBy("sentence", "conv_id").orderBy("chunk_id"))
+    w_conv = Window.partitionBy("sentence").orderBy("conv_id", "chunk_id")
+    first_of_conv = F.coalesce(
+        F.lag("conv_id").over(w_conv) != F.col("conv_id"), F.lit(True)
+    )
+    conv_rank = F.dense_rank().over(Window.partitionBy("sentence").orderBy("conv_id"))
     t = triples.withColumn("_g", g_rn).withColumn(
-        "_s", F.when(s_rn == 1, F.dense_rank().over(Window.partitionBy("sentence").orderBy("conv_id")))
+        "_s", F.when(first_of_conv, conv_rank)
     )
     base = t.groupBy("sentence").agg(
         F.first("predicate").alias("predicate"),

@@ -74,6 +74,12 @@ def run_pipeline(
             ["conv_id", "content_hash"],
             "left_anti",
         )
+    # Assembly (the conv_id shuffle + window render) feeds BOTH the
+    # turn-split/extraction branch and the provenance grounding join —
+    # materialize once so it never recomputes. In the spill shape the
+    # provenance branch then reads only (chunk_id, content_hash) via parquet
+    # column pruning instead of re-running the whole assembly shuffle.
+    chunks = _materialize(chunks, "chunks")
     turns = split_turns(chunks)
 
     if use_udf_extractor:
