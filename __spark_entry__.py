@@ -113,6 +113,19 @@ def q_propositions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prop_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """findClusters + DuplicateCollectorStrategy: similarity components over
+    the batch propositions, one survivor per component, rest marked DUPLICATE."""
+    from dice_spark.operators.propcluster import duplicate_collector
+
+    props = triples_to_propositions(_triples(spark, sf_dir), CTX).localCheckpoint(
+        eager=False
+    )
+    return duplicate_collector(props).select(
+        "prop_id", "survivor_id", "cluster_size", "mark"
+    )
+
+
 def q_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     entities, _ = canonicalize_mentions(_mentions(_triples(spark, sf_dir)), CTX)
     return entities.select("entity_id", "canonical_name", "entity_type", "n_mentions")
@@ -427,6 +440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_hop_links": q_two_hop,
         "decay_sweep": q_decay_sweep,
         "prop_query": q_prop_query,
+        "prop_dup_clusters": q_prop_dup_clusters,
         "linking_ladder": q_linking_ladder,
         "revision_outcomes": q_revision_outcomes,
         "consolidation": q_consolidation,
@@ -453,6 +467,7 @@ def oracle_sql() -> dict[str, str]:
         "two_hop_links": oracle.q_two_hop(),
         "decay_sweep": oracle.q_decay_sweep(),
         "prop_query": oracle.q_prop_query(),
+        "prop_dup_clusters": oracle.q_prop_dup_clusters(),
         "linking_ladder": oracle.q_linking_ladder(),
         "revision_outcomes": oracle.q_revision_outcomes(),
         "consolidation": oracle.q_consolidation(),

@@ -75,6 +75,8 @@ def main() -> int:
     timed("linking_ladder", lambda: entry.q_linking_ladder(spark, sf_dir).count())
     timed("revision_outcomes", lambda: entry.q_revision_outcomes(spark, sf_dir).count())
     timed("consolidation", lambda: entry.q_consolidation(spark, sf_dir).count())
+    timed("retrieval_vector", lambda: entry.q_retrieval_vector(spark, sf_dir).count())
+    timed("prop_dup_clusters", lambda: entry.q_prop_dup_clusters(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -114,6 +114,7 @@ def connected_components(
     edges: DataFrame,
     node_col: str = "node_id",
     max_iter: int = 25,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Min-id label propagation until fixpoint -> (node_id, component).
 
@@ -133,12 +134,19 @@ def connected_components(
     # lineage truncated) by the NEXT full-scan action instead of a dedicated
     # eager job — one scheduler round-trip per iteration instead of two, which
     # is the dominant fixed cost of the loop (the tables are vocabulary-sized).
-    sym = (
-        edges.select(F.col("a"), F.col("b"))
-        .unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .localCheckpoint(eager=False)
+    # num_partitions: callers that KNOW the node set is tiny relative to the
+    # session's shuffle width (e.g. proposition duplicate clusters) pass a
+    # small count so each of the ~diameter iterations schedules a handful of
+    # tasks instead of a full-width shuffle — pure fixed-cost reduction.
+    sym = edges.select(F.col("a"), F.col("b")).unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
+    if num_partitions is not None:
+        sym = sym.repartition(num_partitions, "a")
+    sym = sym.localCheckpoint(eager=False)
     labels = nodes.select(F.col(node_col).alias("id")).withColumn("component", F.col("id"))
+    if num_partitions is not None:
+        labels = labels.repartition(num_partitions, "id")
     if sym.count() == 0:
         # No similarity edges: every node is its own component. Skipping the
         # loop saves ~10 scheduler round-trips of fixed cost per run.

@@ -393,6 +393,27 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def dot_expr(a: Column, b: Column) -> Column:
+    """Dot product of two float-array columns (zip_with/aggregate fold).
+
+    Identical fold order to cosine_expr's numerator, so
+    ``dot_expr(a, b) / (norm_a * norm_b)`` with per-row precomputed norms is
+    bit-identical to ``cosine_expr(a, b)`` — hoist norms to the row side of a
+    pair join to turn three interpreted HOF passes per pair into one.
+    (Unrolling to element_at arithmetic instead measured ~10x SLOWER than the
+    HOF form on a 26-dim pair scan — giant codegen expressions fall off the
+    fast path; don't go there.)
+    """
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    """L2 norm matching cosine_expr's denominator factors bit-for-bit."""
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")))
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -26,19 +26,63 @@ def _undirected(edges: DataFrame) -> DataFrame:
     return e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
 
 
-def neighborhood(edges: DataFrame, start_id: str, max_depth: int = MAX_DEPTH_DEFAULT) -> DataFrame:
-    """(entity_id, distance) — first-discovery BFS distance from start."""
+def prop_edges(props: DataFrame) -> DataFrame:
+    """ACTIVE propositions mentioning two resolved entities ARE the edges
+    (GraphQuery.kt:161-178): (source_id, target_id, prop_id, authority_tier).
+    Rows with an unresolved side (null subj_id/obj_id) contribute no edge."""
+    e = props.filter(
+        F.col("subj_id").isNotNull()
+        & F.col("obj_id").isNotNull()
+        & (F.col("status") == "ACTIVE" if "status" in props.columns else F.lit(True))
+    )
+    tier = (
+        F.col("authority_tier") if "authority_tier" in props.columns else F.lit("UNKNOWN")
+    )
+    return e.select(
+        F.col("subj_id").alias("source_id"),
+        F.col("obj_id").alias("target_id"),
+        "prop_id",
+        tier.alias("authority_tier"),
+    )
+
+
+def neighborhood(
+    edges: DataFrame,
+    start_id: str,
+    max_depth: int = MAX_DEPTH_DEFAULT,
+    min_authority: str | None = None,
+) -> DataFrame:
+    """(entity_id, distance, pred) — first-discovery BFS distance from start,
+    with predecessor-edge attribution (the deterministic min-id predecessor).
+
+    ``min_authority`` is the optional authority floor (GraphQuery.kt:92-100):
+    edges whose authority tier is weaker (greater ordinal) than the floor are
+    excluded from the walk, and UNKNOWN-authority edges (no provenance) are
+    dropped by ANY floor. Requires an ``authority_tier`` column on edges
+    (prop_edges provides it); without a floor any edge table works.
+    """
     spark = edges.sparkSession
+    if min_authority is not None:
+        from dice_spark.operators.provenance import AUTHORITY_TIERS, UNKNOWN_ORDINAL
+
+        floor_ord = AUTHORITY_TIERS.index(min_authority)
+        tier_ord = F.array_position(
+            F.array(*[F.lit(t) for t in AUTHORITY_TIERS]), F.col("authority_tier")
+        ) - 1
+        edges = edges.filter((tier_ord <= floor_ord) & (tier_ord < UNKNOWN_ORDINAL))
     sym = _undirected(edges).cache()
-    visited = spark.createDataFrame([(start_id, 0)], "entity_id string, distance int")
+    visited = spark.createDataFrame(
+        [(start_id, 0, None)], "entity_id string, distance int, pred string"
+    )
     frontier = visited
     for d in range(1, max_depth + 1):
         nxt = (
             sym.join(frontier, sym.src == frontier.entity_id)
-            .select(F.col("dst").alias("entity_id"))
-            .distinct()
+            .groupBy(F.col("dst").alias("entity_id"))
+            .agg(F.min("src").alias("pred"))
             .join(visited.select("entity_id"), "entity_id", "left_anti")
             .withColumn("distance", F.lit(d))
+            .select("entity_id", "distance", "pred")
         )
         if nxt.limit(1).count() == 0:
             break

@@ -1,0 +1,175 @@
+"""Proposition-level duplicate clustering: findClusters + DuplicateCollectorStrategy.
+
+Ports the last §2.9 pair the entity-level CC didn't cover:
+
+* ``find_clusters`` — PropositionRepository.findClusters
+  (/root/reference/dice/src/main/kotlin/com/embabel/dice/proposition/store/
+  InMemoryPropositionRepository.kt:129-152): pairwise embedding cosine >=
+  threshold (0.7) among candidates, anchor ``id < other.id`` dedup, top-K=10
+  neighbours per anchor by similarity.
+* ``duplicate_collector`` — DuplicateCollectorStrategy
+  (/root/reference/dice/src/main/kotlin/com/embabel/dice/projection/memory/
+  DuplicateCollectorStrategy.kt:47-115): overlapping clusters union-find into
+  components (UnionFind :117-146); ONE survivor per component = max by
+  (effectiveConfidence, reinforceCount, id) (:104-106); every other member is
+  marked ``Duplicate(survivorId)``.
+
+Spark shape: the pair space is blocked on (context_id, predicate) — duplicate
+propositions state the same relation, and the reference's caller already
+scopes candidates to one context — so the join is an equi-join per block,
+never a cross join. Within a hot block the exact-cosine pair cost is
+O(block²); the scale path swaps this stage for the banded MinHash-LSH
+self-join in operators/dedup.py (same output contract), exactly as the
+document near-dup family does. Union-find is the shared min-label-propagation
+``connected_components`` (vocabulary-sized input: distinct proposition ids
+that appear in at least one qualifying pair).
+
+The embedding is the deterministic letter-count stand-in over canonicalized
+text (linking.char_embedding ∘ textfns.canonicalize_text) — the same
+convention as the linking VECTOR tier and the revision vector fast path, and
+exactly reproducible by the DuckDB oracle (list_cosine_similarity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dice_spark.functions.textfns import canonicalize_text
+from dice_spark.operators.canonicalize import connected_components
+from dice_spark.operators.dedup import dot_expr, norm_expr
+from dice_spark.operators.linking import char_embedding
+
+# The reference's floor is 0.7 on real text embeddings
+# (InMemoryPropositionRepository.kt:137). The deterministic letter-count
+# stand-in is far less discriminative — formulaic same-predicate sentences
+# land above 0.7 almost universally, collapsing every block into one cluster
+# and exploding the post-threshold pair count — so the default floor here is
+# 0.95; a deployment with a real embedding column passes threshold=0.7.
+CLUSTER_COSINE = 0.95
+CLUSTER_TOP_K = 10  # :142 topK neighbours per anchor
+
+
+def prop_embedding(text_col: Column | str = "text") -> Column:
+    """Deterministic proposition embedding: letter counts of canonical text."""
+    return char_embedding(canonicalize_text(text_col))
+
+
+def find_clusters(
+    props: DataFrame,
+    threshold: float = CLUSTER_COSINE,
+    top_k: int = CLUSTER_TOP_K,
+    id_col: str = "prop_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("context_id", "predicate"),
+) -> DataFrame:
+    """Similar-proposition pairs: (anchor_id, other_id, cosine).
+
+    anchor_id < other_id (the reference's anchor dedup), cosine >= threshold,
+    at most ``top_k`` neighbours per anchor ordered by (cosine desc, other_id
+    asc — deterministic tie-break for the reference's stable sort).
+    """
+    # Candidate blocking: (context, predicate) equi-keys PLUS a canonical-text
+    # length band (floor(len/8)) — near-identical texts have near-identical
+    # lengths, and the band bounds per-block pair cost the same way the fuzzy
+    # linking tier's length band does. Boundary pairs straddling a band edge
+    # are missed: the standard banding trade-off, shared with every LSH path
+    # in this engine (the 100 TB path swaps this stage for banded MinHash-LSH
+    # anyway).
+    canon = canonicalize_text(text_col)
+    # Norms are hoisted to the row side: one interpreted-HOF pass per PAIR
+    # (the dot) instead of three — bit-identical to cosine_expr (same folds).
+    base = props.select(
+        *[F.col(c) for c in block_cols],
+        F.col(id_col).alias("pid"),
+        char_embedding(canon).alias("emb"),
+        F.floor(F.length(canon) / 8).alias("_band"),
+    ).withColumn("_nrm", norm_expr(F.col("emb")))
+    a = base.alias("a")
+    b = base.alias("b")
+    cond = (F.col("a.pid") < F.col("b.pid")) & (F.col("a._band") == F.col("b._band"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    pairs = (
+        a.join(b, cond)
+        .select(
+            F.col("a.pid").alias("anchor_id"),
+            F.col("b.pid").alias("other_id"),
+            F.round(
+                dot_expr(F.col("a.emb"), F.col("b.emb"))
+                / (F.col("a._nrm") * F.col("b._nrm")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("other_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .drop("rank")
+    )
+
+
+def duplicate_collector(
+    props: DataFrame,
+    pairs: DataFrame | None = None,
+    eff_conf: Column | None = None,
+    id_col: str = "prop_id",
+) -> DataFrame:
+    """Mark duplicate propositions: one survivor per similarity component.
+
+    Returns one row per proposition that belongs to a multi-member component:
+    (prop_id, component, survivor_id, cluster_size, mark) where mark is
+    SURVIVOR or DUPLICATE. Propositions in no qualifying pair are untouched
+    (the reference only marks members of overlapping clusters).
+
+    ``eff_conf`` defaults to the raw confidence column — the pipeline's batch
+    propositions carry no temporal metadata, so effectiveConfidence(now)
+    degenerates to confidence; callers with a durable store pass
+    ``effective_confidence(...)`` from functions.decay.
+    """
+    if pairs is None:
+        pairs = find_clusters(props, id_col=id_col)
+    score = eff_conf if eff_conf is not None else F.col("confidence")
+    edges = pairs.select(F.col("anchor_id").alias("a"), F.col("other_id").alias("b"))
+    members = (
+        edges.select(F.col("a").alias("pid"))
+        .unionByName(edges.select(F.col("b").alias("pid")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    comps = connected_components(members, edges, node_col="pid", num_partitions=8)
+    scored = (
+        props.select(
+            F.col(id_col).alias("pid"),
+            score.alias("_score"),
+            F.col("reinforce_count").alias("_reinforce"),
+        )
+        .join(comps, "pid")
+    )
+    # Survivor = max by (effectiveConfidence, reinforceCount, id) —
+    # DuplicateCollectorStrategy.kt:104-106 (maxWith compareBy, so the
+    # greatest id wins remaining ties).
+    w = Window.partitionBy("component").orderBy(
+        F.desc("_score"), F.desc("_reinforce"), F.desc("pid")
+    )
+    ranked = scored.withColumn("_rn", F.row_number().over(w))
+    survivors = ranked.filter(F.col("_rn") == 1).select(
+        "component", F.col("pid").alias("survivor_id")
+    )
+    sizes = ranked.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        ranked.join(survivors, "component")
+        .join(sizes, "component")
+        .select(
+            F.col("pid").alias(id_col),
+            "component",
+            "survivor_id",
+            "cluster_size",
+            F.when(F.col("pid") == F.col("survivor_id"), F.lit("SURVIVOR"))
+            .otherwise(F.lit("DUPLICATE"))
+            .alias("mark"),
+        )
+    )

@@ -208,3 +208,44 @@ def apply_prop_query(
     if needs_eff:
         out = out.withColumnRenamed("_eff_conf", "eff_conf")
     return out
+
+
+def find_similar_with_scores(
+    props: DataFrame,
+    text: str,
+    threshold: float = 0.0,
+    top_k: int = 10,
+    query: PropQuery | None = None,
+    prop_entities: DataFrame | None = None,
+) -> DataFrame:
+    """Similarity search over the proposition store, optionally pre-filtered.
+
+    Ports InMemoryPropositionRepository.findSimilarWithScores (:77-127):
+    cosine of every proposition's embedding against the query text, >=
+    threshold, (score desc, id asc) order, topK. The filtered variant (:105-
+    127) applies matchesFilters FIRST — one ``PropQuery`` evaluated at a
+    single asOf — so the similarity scan only touches rows that pass, which
+    is also the right plan shape (cheap pushed-down filters prune before the
+    embedding arithmetic; orderBy+limit compiles to TakeOrderedAndProject).
+    The embedding is the deterministic letter-count stand-in shared with the
+    linking VECTOR tier and the retrieval router.
+    """
+    from dice_spark.operators.dedup import cosine_expr
+    from dice_spark.operators.linking import char_embedding
+
+    base = (
+        apply_prop_query(props, query, prop_entities) if query is not None else props
+    )
+    sim = F.round(
+        cosine_expr(
+            char_embedding(F.lower(F.col("text"))),
+            char_embedding(F.lit(text.lower())),
+        ),
+        6,
+    )
+    return (
+        base.withColumn("score", sim)
+        .filter(~F.isnan("score") & (F.col("score") >= threshold))
+        .orderBy(F.desc("score"), F.asc("prop_id"))
+        .limit(top_k)
+    )

@@ -702,3 +702,74 @@ FROM transcripts
 GROUP BY conv_id
 HAVING max(turn_idx) + 1 >= {trigger}
 """
+
+
+def q_prop_dup_clusters(threshold: float = 0.95, top_k: int = 10) -> str:
+    """findClusters + DuplicateCollectorStrategy oracle (mirror of
+    operators/propcluster.py): letter-count-cosine pairs blocked on
+    (context_id, predicate), anchor<other + topK per anchor, recursive-CTE
+    connected components, survivor = max(confidence, reinforce_count, id)."""
+    canon = duckdb_canonicalize_text_sql("text")
+    emb = _char_emb_sql("canon")
+    return base_ctes() + f""",
+canon_props AS (
+  SELECT prop_id, context_id, predicate, confidence, reinforce_count,
+         {canon} AS canon
+  FROM propositions
+),
+emb_props AS (
+  SELECT prop_id, context_id, predicate, confidence, reinforce_count,
+         {emb} AS emb, length(canon) // 8 AS band
+  FROM canon_props
+),
+raw_pairs AS (
+  SELECT a.prop_id AS anchor_id, b.prop_id AS other_id,
+         round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+  FROM emb_props a JOIN emb_props b
+    ON a.context_id = b.context_id AND a.predicate = b.predicate
+   AND a.band = b.band
+   AND a.prop_id < b.prop_id
+),
+pairs AS (
+  SELECT anchor_id, other_id FROM (
+    SELECT anchor_id, other_id,
+           row_number() OVER (PARTITION BY anchor_id
+                              ORDER BY cosine DESC, other_id ASC) AS rn
+    FROM raw_pairs WHERE cosine >= {threshold}
+  ) WHERE rn <= {top_k}
+),
+members AS (
+  SELECT anchor_id AS pid FROM pairs UNION SELECT other_id FROM pairs
+),
+csym AS (
+  SELECT anchor_id AS a, other_id AS b FROM pairs
+  UNION SELECT other_id, anchor_id FROM pairs
+),
+creach(id, r) AS (
+  SELECT pid, pid FROM members
+  UNION
+  SELECT s.b, creach.r FROM creach JOIN csym s ON s.a = creach.id
+),
+ccomps AS (
+  SELECT id AS pid, min(r) AS component FROM creach GROUP BY id
+),
+cscored AS (
+  SELECT c.pid, c.component, p.confidence, p.reinforce_count
+  FROM ccomps c JOIN propositions p ON p.prop_id = c.pid
+),
+cranked AS (
+  SELECT pid, component,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY confidence DESC, reinforce_count DESC,
+                                     pid DESC) AS rn,
+         count(*) OVER (PARTITION BY component) AS cluster_size
+  FROM cscored
+),
+csurv AS (
+  SELECT component, pid AS survivor_id FROM cranked WHERE rn = 1
+)
+SELECT r.pid AS prop_id, s.survivor_id,
+       cast(r.cluster_size AS bigint) AS cluster_size,
+       CASE WHEN r.pid = s.survivor_id THEN 'SURVIVOR' ELSE 'DUPLICATE' END AS mark
+FROM cranked r JOIN csurv s USING (component)
+"""

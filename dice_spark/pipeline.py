@@ -54,7 +54,48 @@ def run_pipeline(
     the multi-executor-cluster shape (stage outputs written to shared storage);
     in local mode it lifts the single-JVM block-manager ceiling at 10M+ turns.
     """
-    spark = transcripts.sparkSession
+    chunks = assemble_windows(transcripts)
+    if processed_chunks is not None:
+        # Resume: skip windows whose content hash was already processed
+        # (IngestionLedger.recordIfAbsent / ChunkHistoryStore semantics).
+        chunks = chunks.join(
+            processed_chunks.select("conv_id", "content_hash"),
+            ["conv_id", "content_hash"],
+            "left_anti",
+        )
+    return process_chunks(
+        chunks,
+        context_id=context_id,
+        relations=relations,
+        conf_overrides=conf_overrides,
+        use_udf_extractor=use_udf_extractor,
+        min_confidence=min_confidence,
+        run_id=run_id,
+        spill_dir=spill_dir,
+        existing_props=existing_props,
+        existing_edges=existing_edges,
+    )
+
+
+def process_chunks(
+    chunks: DataFrame,
+    context_id: str = "default",
+    relations: DataFrame | None = None,
+    conf_overrides: dict | None = None,
+    use_udf_extractor: bool = True,
+    min_confidence: float = DEFAULT_MIN_CONFIDENCE,
+    run_id: str = "run-0",
+    spill_dir: str | None = None,
+    existing_props: DataFrame | None = None,
+    existing_edges: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """Assembled chunks -> the full downstream stage graph.
+
+    The post-assembly entry point shared by the batch pipeline (run_pipeline)
+    and the Structured Streaming foreachBatch sink (streaming/stream.py),
+    which assembles its own incremental windows per micro-batch.
+    """
+    spark = chunks.sparkSession
     relations = relations if relations is not None else relations_df(spark)
 
     def _materialize(df: DataFrame, name: str) -> DataFrame:
@@ -65,21 +106,16 @@ def run_pipeline(
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
-    chunks = assemble_windows(transcripts)
-    if processed_chunks is not None:
-        # Resume: skip windows whose content hash was already processed
-        # (IngestionLedger.recordIfAbsent / ChunkHistoryStore semantics).
-        chunks = chunks.join(
-            processed_chunks.select("conv_id", "content_hash"),
-            ["conv_id", "content_hash"],
-            "left_anti",
-        )
-    # Assembly (the conv_id shuffle + window render) feeds BOTH the
-    # turn-split/extraction branch and the provenance grounding join —
-    # materialize once so it never recomputes. In the spill shape the
-    # provenance branch then reads only (chunk_id, content_hash) via parquet
-    # column pruning instead of re-running the whole assembly shuffle.
-    chunks = _materialize(chunks, "chunks")
+    # Assembly feeds both the turn-split/extraction branch (which prunes to
+    # chunk_id/conv_id/window_start/text) and the provenance grounding join
+    # (which prunes to chunk_id/content_hash). Share ONLY the slim meta
+    # projection: materializing full chunks is a trap — emitting text AND
+    # sha2(text) through one aggregation output projection drops the render
+    # out of codegen into interpreted ArrayTransform eval (~100x slower,
+    # measured), because no single consumer ever materializes both columns
+    # otherwise. The two branches re-run the (cheap, shuffle-parallel)
+    # assembly independently, exactly the column-pruned round-1 plan shape.
+    chunk_meta = _materialize(chunks.select("chunk_id", "content_hash"), "chunk_meta")
     turns = split_turns(chunks)
 
     if use_udf_extractor:
@@ -108,7 +144,7 @@ def run_pipeline(
     # plus the derived authority tier and authority-weighted trust score.
     from dice_spark.operators.provenance import with_provenance_metadata
 
-    props = with_provenance_metadata(props, chunks, hash_col="content_hash")
+    props = with_provenance_metadata(props, chunk_meta, hash_col="content_hash")
     subj_map = mapping.select(
         F.col("norm_key").alias("_sk"), F.col("type_key").alias("_st"), F.col("resolved_id").alias("subj_id")
     )
@@ -148,7 +184,7 @@ def run_pipeline(
 
         revision = revise_batch(existing_props, props)
 
-    return {
+    result = {
         **({"revision": revision} if revision is not None else {}),
         "rejected_mentions": rejected_mentions,
         "chunks": chunks,
@@ -160,4 +196,39 @@ def run_pipeline(
         "classified": classified,
         "edges": edges,
         "projection_records": records,
+    }
+    return result
+
+
+def run_entity_pipeline(
+    transcripts: DataFrame,
+    context_id: str = "default",
+    conf_overrides: dict | None = None,
+    use_udf_extractor: bool = True,
+) -> dict[str, DataFrame]:
+    """Entity-only variant of the pipeline (EntityPipeline,
+    /root/reference/dice/src/main/kotlin/com/embabel/dice/entity/
+    EntityPipeline.kt:46): extract mentions, filter junk spans, canonicalize —
+    no propositions, no projection. Returns entities + the mention->entity
+    mapping + rejected mentions."""
+    from dice_spark.operators.mention_filter import filter_mentions
+
+    chunks = assemble_windows(transcripts)
+    turns = split_turns(chunks)
+    triples = (
+        extract_triples_udf(turns, conf_overrides)
+        if use_udf_extractor
+        else extract_triples(turns, relations_df(transcripts.sparkSession), conf_overrides)
+    ).localCheckpoint(eager=False)
+    mentions = triples.select(
+        F.col("subj_span").alias("span"), F.col("subj_type").alias("entity_type")
+    ).unionByName(
+        triples.select(F.col("obj_span").alias("span"), F.col("obj_type").alias("entity_type"))
+    )
+    mentions, rejected = filter_mentions(mentions)
+    entities, mapping = canonicalize_mentions(mentions, context_id)
+    return {
+        "entities": entities,
+        "mention_mapping": mapping,
+        "rejected_mentions": rejected,
     }

@@ -63,3 +63,17 @@ def test_propositions_active_level0(result):
     assert len(props) == 3
     assert all(p["status"] == "ACTIVE" and p["level"] == 0 for p in props)
     assert all(p["reinforce_count"] == 0 for p in props)
+
+
+def test_entity_pipeline_variant(spark):
+    """EntityPipeline.kt:46 — entity-only run matches the full pipeline's
+    entities exactly (same extraction + filter + canonicalization path)."""
+    from dice_spark.pipeline import run_entity_pipeline
+
+    transcripts = make_transcripts(spark, canonical_flow_rows())
+    ent_only = run_entity_pipeline(transcripts, context_id="flow")
+    full = run_pipeline(transcripts, context_id="flow")
+    a = {(r.entity_id, r.canonical_name) for r in ent_only["entities"].collect()}
+    b = {(r.entity_id, r.canonical_name) for r in full["entities"].collect()}
+    assert a == b and len(a) > 0
+    assert set(ent_only) == {"entities", "mention_mapping", "rejected_mentions"}

@@ -102,3 +102,35 @@ def test_order_and_limit(props):
     assert got == ["p4", "p1", "p3", "p2"]
     with pytest.raises(ValueError):
         apply_prop_query(props, PropQuery(order_by="BOGUS"))
+
+
+def test_find_similar_with_scores_plain_and_filtered(spark):
+    from dice_spark.operators.propquery import PropQuery, find_similar_with_scores
+
+    rows = [
+        ("p1", "c", "alice works at acme", "ACTIVE", 0, 0.9, 0.1, 0, False),
+        ("p2", "c", "alice works at acme corp", "ACTIVE", 0, 0.8, 0.1, 1, False),
+        ("p3", "c", "zzz qqq vvv", "ACTIVE", 0, 0.7, 0.1, 0, False),
+        ("p4", "c", "alice works at acme inc", "STALE", 0, 0.6, 0.1, 0, False),
+    ]
+    props = spark.createDataFrame(
+        rows,
+        "prop_id string, context_id string, text string, status string, "
+        "level int, confidence double, decay double, reinforce_count int, "
+        "pinned boolean",
+    )
+    # Plain variant: score-desc order, threshold prunes the unrelated row.
+    out = find_similar_with_scores(props, "alice works at acme", threshold=0.9, top_k=10)
+    got = [(r.prop_id, r.score) for r in out.collect()]
+    # letter-count cosine ranks "...inc" (p4) above "...corp" (p2)
+    assert [p for p, _ in got] == ["p1", "p4", "p2"]
+    assert got[0][1] == 1.0
+    # Filtered variant: matchesFilters first (ACTIVE only) -> p4 gone.
+    q = PropQuery(statuses=["ACTIVE"])
+    out2 = find_similar_with_scores(
+        props, "alice works at acme", threshold=0.9, top_k=10, query=q
+    )
+    assert [r.prop_id for r in out2.collect()] == ["p1", "p2"]
+    # topK clamp applies after ordering.
+    out3 = find_similar_with_scores(props, "alice works at acme", threshold=0.0, top_k=1)
+    assert [r.prop_id for r in out3.collect()] == ["p1"]

@@ -1,0 +1,68 @@
+"""Structured Streaming entry (streaming/stream.py): readStream -> foreachBatch
+-> incremental KG warehouse, with bookmark advance + ledger dedup across runs."""
+
+from __future__ import annotations
+
+import pytest
+
+from dice_spark.streaming.stream import TURN_SCHEMA, StreamingPipeline
+
+
+def _write_turns(spark, path, rows):
+    df = spark.createDataFrame(rows, TURN_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _turns(conv, start, n):
+    rows = []
+    names = ["Alice Nguyen", "Bob Marley", "Carol Danvers"]
+    for i in range(start, start + n):
+        who = names[i % 3]
+        other = names[(i + 1) % 3]
+        rows.append((conv, i, "user", f"{who} collaborates with {other}."))
+    return rows
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    return str(tmp_path / "in"), str(tmp_path / "ckpt"), str(tmp_path / "wh")
+
+
+def test_stream_two_batches_bookmarks_and_ledger(spark, dirs):
+    inp, ckpt, wh_root = dirs
+    sp = StreamingPipeline(spark, wh_root, context_id="s")
+
+    # Batch 1: 6 turns (trigger=4 -> window [0, 6) assembles).
+    _write_turns(spark, inp, _turns("conv-a", 0, 6))
+    sp.start(inp, ckpt).awaitTermination()
+    assert sp.wh.exists("edges") and sp.wh.read("edges").count() > 0
+    bm1 = {r.conv_id: r.end_index for r in sp.wh.read("bookmarks").collect()}
+    assert bm1 == {"conv-a": 6}
+    n_edges_1 = sp.wh.read("edges").count()
+    n_ledger_1 = sp.wh.read("ledger").count()
+
+    # Batch 2: 6 more turns -> trigger fires again from bookmark 6 (window
+    # starts at 6 - overlap).
+    _write_turns(spark, inp, _turns("conv-a", 6, 6))
+    sp.start(inp, ckpt).awaitTermination()
+    bm2 = {r.conv_id: max(r.end_index for r in g) for g in [sp.wh.read("bookmarks").collect()] for r in g}
+    assert bm2["conv-a"] == 12
+    assert sp.wh.read("ledger").count() > n_ledger_1
+    assert sp.wh.read("edges").count() >= n_edges_1
+
+    # Replay the same input against a FRESH checkpoint: ledger + MERGE keys
+    # make it a no-op on edges (idempotent re-delivery).
+    n_edges_2 = sp.wh.read("edges").count()
+    n_props_2 = sp.wh.read("propositions").count()
+    sp.start(inp, ckpt + "2").awaitTermination()
+    assert sp.wh.read("edges").count() == n_edges_2
+    assert sp.wh.read("propositions").count() == n_props_2
+
+
+def test_stream_below_trigger_is_noop(spark, dirs):
+    inp, ckpt, wh_root = dirs
+    sp = StreamingPipeline(spark, wh_root, context_id="s2")
+    _write_turns(spark, inp, _turns("conv-b", 0, 3))  # below trigger=4
+    sp.start(inp, ckpt).awaitTermination()
+    assert sp.wh.exists("turns")
+    assert not sp.wh.exists("edges")

@@ -144,7 +144,17 @@ def main() -> int:
         cores = int(sys.argv[sys.argv.index("--single") + 1])
         print("RESULT " + json.dumps(measure(cores)))
         return 0
-    prepare_input()
+    if "--prep" in sys.argv:
+        prepare_input()
+        return 0
+    # Prep in a subprocess: a py4j JVM lives until its python exits, and a
+    # leftover prep JVM idling at ~30-50% CPU perturbs every measurement.
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--prep"],
+        check=True,
+        timeout=3600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
     trials = int(os.environ.get("SCALING_TRIALS", "3"))
     runs: dict[int, list[dict]] = {c: [] for c in LEVELS}
     for _ in range(trials):
