@@ -126,6 +126,21 @@ def q_prop_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_memory_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MemoryConsolidator / SessionConsolidationPass: the proposition set is
+    split by prop_id hex prefix into a session batch and a long-term store;
+    each session prop reinforces / merges / promotes / discards."""
+    from dice_spark.operators.memory import consolidate_session
+
+    props = triples_to_propositions(_triples(spark, sf_dir), CTX).localCheckpoint(
+        eager=False
+    )
+    first = F.substring("prop_id", 1, 1)
+    session = props.filter(first.isin(*"01234567"))
+    longterm = props.filter(~first.isin(*"01234567"))
+    return consolidate_session(session, longterm)["outcomes"]
+
+
 def q_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     entities, _ = canonicalize_mentions(_mentions(_triples(spark, sf_dir)), CTX)
     return entities.select("entity_id", "canonical_name", "entity_type", "n_mentions")
@@ -441,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decay_sweep": q_decay_sweep,
         "prop_query": q_prop_query,
         "prop_dup_clusters": q_prop_dup_clusters,
+        "memory_consolidation": q_memory_consolidation,
         "linking_ladder": q_linking_ladder,
         "revision_outcomes": q_revision_outcomes,
         "consolidation": q_consolidation,
@@ -468,6 +484,7 @@ def oracle_sql() -> dict[str, str]:
         "decay_sweep": oracle.q_decay_sweep(),
         "prop_query": oracle.q_prop_query(),
         "prop_dup_clusters": oracle.q_prop_dup_clusters(),
+        "memory_consolidation": oracle.q_memory_consolidation(),
         "linking_ladder": oracle.q_linking_ladder(),
         "revision_outcomes": oracle.q_revision_outcomes(),
         "consolidation": oracle.q_consolidation(),

@@ -223,12 +223,16 @@ def dream_loop(
     context_id: str,
     as_of: str,
     threshold: int = ABSTRACTION_THRESHOLD,
+    retire_below: float | None = None,
 ) -> dict[str, DataFrame]:
     """One consolidation cycle in registration order (abstraction ->
-    contradiction resolution), each pass reading the previous pass's output —
-    the orchestrator's single-snapshot, single-write contract. Returns the
-    final store plus per-pass outcome counters. The change-volume threshold
-    gate (active delta >= 10 since the last cycle) is the caller's state."""
+    contradiction resolution -> optional decay sweep), each pass reading the
+    previous pass's output — the orchestrator's single-snapshot, single-write
+    contract. Returns the final store plus per-pass outcome counters. The
+    change-volume threshold gate (active delta >= 10 since the last cycle) is
+    the caller's state. ``retire_below`` enables the DecaySweepPass tail
+    (delegating to operators/sweep.decay_sweep, the reference's pass order);
+    None keeps the two-pass cycle."""
     after_abs = abstraction_pass(props, prop_entities, context_id, threshold=threshold)
     store1 = after_abs.drop("consolidation_outcome")
     # Mention relation for the revised store: original props keep their
@@ -251,4 +255,53 @@ def dream_loop(
             .withColumn("pass", F.lit("contradiction"))
         )
     )
-    return {"store": after_contra, "counters": counters}
+    result = {"store": after_contra, "counters": counters}
+    if retire_below is not None:
+        from dice_spark.operators.sweep import decay_sweep
+
+        store2 = after_contra.drop("consolidation_outcome")
+        # Stores without temporal metadata decay from as_of itself (age 0 ->
+        # effective == raw confidence), matching the contradiction pass's
+        # no-anchor fallback above.
+        ts = F.to_timestamp(F.lit(as_of))
+        if "content_revised" not in store2.columns:
+            store2 = store2.withColumn("content_revised", ts)
+        for c in ("valid_from", "valid_to", "invalidated_at"):
+            if c not in store2.columns:
+                store2 = store2.withColumn(c, F.lit(None).cast("timestamp"))
+        swept, sweep_records = decay_sweep(
+            store2, ts, retire_below=retire_below, run_id=f"dream-{context_id}"
+        )
+        result["store"] = swept
+        result["sweep_records"] = sweep_records
+        result["counters"] = counters.unionByName(
+            sweep_records.groupBy(F.col("lifecycle").alias("consolidation_outcome"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("pass", F.lit("decay_sweep"))
+        )
+    return result
+
+
+def session_consolidation_pass(
+    session_props: DataFrame,
+    longterm_props: DataFrame,
+    session_entities: DataFrame | None = None,
+    longterm_entities: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """SessionConsolidationPass (operations/consolidation/
+    SessionConsolidationPass.kt:37): delegates verbatim to the
+    MemoryConsolidator port — promoted + reinforced + merged become the
+    propositions-to-save; discarded are dropped. Runs FIRST in the
+    reference's registration order; the caller feeds the returned store into
+    dream_loop's abstraction/contradiction/decay cycle."""
+    from dice_spark.operators.memory import consolidate_session
+
+    out = consolidate_session(
+        session_props, longterm_props, session_entities, longterm_entities
+    )
+    to_save = (
+        out["promoted"].select("prop_id", "text", "confidence", "grounding")
+        .unionByName(out["reinforced"].select("prop_id", "text", "confidence", "grounding"))
+        .unionByName(out["merged"].select("prop_id", "text", "confidence", "grounding"))
+    )
+    return {**out, "to_save": to_save}

@@ -773,3 +773,58 @@ SELECT r.pid AS prop_id, s.survivor_id,
        CASE WHEN r.pid = s.survivor_id THEN 'SURVIVOR' ELSE 'DUPLICATE' END AS mark
 FROM cranked r JOIN csurv s USING (component)
 """
+
+
+def q_memory_consolidation(
+    promotion: float = 0.6, similarity: float = 0.7, reinforce_above: float = 0.9
+) -> str:
+    """MemoryConsolidator oracle (mirror of operators/memory.py over the
+    prop_id-prefix session/long-term split in __spark_entry__): similarity =
+    0.7 * word-Jaccard + 0.3 * entity-Jaccard; no entity relations are
+    supplied, so the both-empty convention fixes the entity term at 0.5."""
+    return base_ctes() + f""",
+mem_words AS (
+  SELECT prop_id, text, confidence,
+         list_sort(list_distinct(list_filter(
+           str_split_regex(lower(text), '\\s+'), w -> length(w) > 0
+         ))) AS words,
+         substr(prop_id, 1, 1) BETWEEN '0' AND '7' AS is_session
+  FROM propositions
+),
+mem_pairs AS (
+  SELECT s.prop_id AS s_id, e.prop_id AS e_id, s.confidence AS s_conf,
+         (CASE WHEN len(list_distinct(list_concat(s.words, e.words))) = 0
+               THEN 1.0
+               ELSE cast(len(list_intersect(s.words, e.words)) AS double)
+                    / cast(len(list_distinct(list_concat(s.words, e.words))) AS double)
+          END) * 0.7 + 0.5 * 0.3 AS sim
+  FROM mem_words s JOIN mem_words e
+    ON s.is_session AND NOT e.is_session
+),
+mem_best AS (
+  SELECT s_id, e_id, sim FROM (
+    SELECT s_id, e_id, sim,
+           row_number() OVER (PARTITION BY s_id ORDER BY sim DESC, e_id ASC) AS rn
+    FROM mem_pairs WHERE sim >= {similarity}
+  ) WHERE rn = 1
+),
+mem_outcomes AS (
+  SELECT s_id AS prop_id,
+         CASE WHEN round(sim, 6) > {reinforce_above} THEN 'REINFORCED'
+              ELSE 'MERGED' END AS outcome,
+         e_id AS matched_id,
+         round(sim, 6) AS similarity
+  FROM mem_best
+  UNION ALL
+  SELECT w.prop_id,
+         CASE WHEN w.confidence >= {promotion} THEN 'PROMOTED'
+              ELSE 'DISCARDED' END AS outcome,
+         NULL AS matched_id,
+         NULL AS similarity
+  FROM mem_words w
+  WHERE w.is_session
+    AND NOT EXISTS (SELECT 1 FROM mem_best b WHERE b.s_id = w.prop_id)
+)
+SELECT prop_id, outcome, matched_id, cast(similarity AS double) AS similarity
+FROM mem_outcomes
+"""

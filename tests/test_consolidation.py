@@ -110,3 +110,24 @@ def test_dream_loop_cycle(spark):
     assert counts[("abstraction", "SUPERSEDED")] == 5
     store = out["store"].collect()
     assert len(store) == 6  # 5 superseded + 1 abstraction
+
+
+def test_dream_loop_with_decay_sweep_tail(spark):
+    """retire_below enables the DecaySweepPass tail: low-confidence unpinned
+    ACTIVE props retire to STALE after abstraction/contradiction."""
+    rows = [
+        ("p1", "c", "weak fact about zed", 0.2, 0.1, False, "ACTIVE", 0, []),
+        ("p2", "c", "strong fact about zed", 0.9, 0.1, False, "ACTIVE", 0, []),
+        ("p3", "c", "pinned weak fact", 0.2, 0.1, True, "ACTIVE", 0, []),
+    ]
+    pe = _pe(spark, [("p1", "e9"), ("p2", "e8"), ("p3", "e7")])
+    out = dream_loop(
+        _props(spark, rows), pe, "c", "2024-06-01 00:00:00", retire_below=0.5
+    )
+    status = {r.prop_id: r.status for r in out["store"].collect()}
+    assert status["p1"] == "STALE"  # below floor, unpinned -> swept
+    assert status["p2"] == "ACTIVE"
+    assert status["p3"] == "ACTIVE"  # pinned is eviction-immune
+    counts = {(r["pass"], r["consolidation_outcome"]): r["n"] for r in out["counters"].collect()}
+    assert counts[("decay_sweep", "SWEPT")] == 1
+    assert out["sweep_records"].count() == 1
