@@ -416,6 +416,21 @@ def q_doc_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(docs, max_hamming=3)
 
 
+def q_doc_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked on the corpus's coarse label
+    column (the IVF-style partition path of embedding_near_dups). The 0.35
+    threshold is calibrated to this synthetic corpus (random embeddings top
+    out at cosine ~0.47 within blocks); a real near-dup corpus runs 0.95.
+    Embeddings are cast to double FIRST so both engines do identical
+    double-precision arithmetic."""
+    from dice_spark.operators.dedup import embedding_near_dups
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return embedding_near_dups(emb, threshold=0.35, block_col="label")
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -466,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_dups": q_doc_ngram_dups,
         "doc_minhash_dups": q_doc_minhash_dups,
         "doc_simhash_dups": q_doc_simhash_dups,
+        "doc_embedding_dups": q_doc_embedding_dups,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
     }
@@ -494,6 +510,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_ngram_dups": oracle_docs.q_doc_ngram_dups(),
         "doc_minhash_dups": oracle_docs.q_doc_minhash_dups(),
         "doc_simhash_dups": oracle_docs.q_doc_simhash_dups(),
+        "doc_embedding_dups": oracle_docs.q_doc_embedding_dups(),
         "ann_topk": oracle_docs.q_ann_topk(),
         "ann_ivf_topk": oracle_docs.q_ann_ivf_topk(),
     }

@@ -235,3 +235,19 @@ SELECT query_id, vec_id,
 FROM scored
 QUALIFY rank <= {k}
 """
+
+
+def q_doc_embedding_dups(threshold: float = 0.35) -> str:
+    """Label-blocked embedding near-dup oracle (mirror of
+    dedup.embedding_near_dups with block_col='label'); embeddings cast to
+    double first to match the Spark side's arithmetic exactly."""
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+"""

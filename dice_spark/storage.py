@@ -77,3 +77,90 @@ class Warehouse:
         if not os.path.isdir(tdir):
             return []
         return sorted(d for d in os.listdir(tdir) if d.startswith("snap-"))
+
+
+class IcebergWarehouse:
+    """Iceberg-catalog warehouse: same writer contract as ``Warehouse`` but
+    with real ACID semantics (reference target: dice-storage's
+    transactional store, SURVEY.md §1.4):
+
+    * overwrite  -> ``INSERT OVERWRITE`` into an Iceberg v2 table
+    * append     -> ``INSERT INTO`` (snapshot-isolated)
+    * merge      -> ``MERGE INTO`` on the natural key (upsert, new rows win)
+    * snapshots  -> the table's snapshot log (time travel comes free)
+
+    Requires the iceberg-spark-runtime jar and a configured catalog; use
+    ``make_warehouse`` to select this backend automatically.
+    """
+
+    def __init__(self, catalog: str, namespace: str, spark: SparkSession):
+        self.catalog = catalog
+        self.namespace = namespace
+        self.spark = spark
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+
+    def _table(self, name: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{name}"
+
+    def exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(self._table(name))
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.table(self._table(name))
+
+    def _ensure(self, name: str, df: DataFrame) -> None:
+        if not self.exists(name):
+            df.limit(0).writeTo(self._table(name)).using("iceberg").create()
+
+    def overwrite(self, name: str, df: DataFrame) -> None:
+        self._ensure(name, df)
+        df.writeTo(self._table(name)).overwritePartitions()
+
+    def append(self, name: str, df: DataFrame) -> None:
+        self._ensure(name, df)
+        df.writeTo(self._table(name)).append()
+
+    def merge(self, name: str, df: DataFrame, keys: list[str]) -> None:
+        if not self.exists(name):
+            self._ensure(name, df)
+            df.writeTo(self._table(name)).append()
+            return
+        view = f"_merge_src_{name}"
+        df.createOrReplaceTempView(view)
+        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        self.spark.sql(
+            f"MERGE INTO {self._table(name)} t USING {view} s ON {on} "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
+
+    def snapshots(self, name: str) -> list[str]:
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._table(name)}.snapshots ORDER BY committed_at"
+        ).collect()
+        return [str(r.snapshot_id) for r in rows]
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg runtime is on the session's classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.catalog.Catalog")
+        return True
+    except Exception:
+        return False
+
+
+def make_warehouse(
+    spark: SparkSession,
+    root: str,
+    backend: str = "auto",
+    catalog: str = "dice",
+    namespace: str = "kg",
+):
+    """Select the storage backend: ``iceberg`` / ``parquet`` / ``auto``
+    (Iceberg when its runtime is present, else the parquet-snapshot
+    emulation — this sandbox has no Iceberg jar, so auto falls back)."""
+    if backend == "iceberg" or (backend == "auto" and iceberg_available(spark)):
+        return IcebergWarehouse(catalog, namespace, spark)
+    if backend not in ("auto", "parquet"):
+        raise ValueError(f"unknown warehouse backend {backend!r}")
+    return Warehouse(root, spark)

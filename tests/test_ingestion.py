@@ -53,3 +53,18 @@ def test_explicit_hash_wins(spark):
     )
     out = ingest_batch(batch, None)
     assert out["ingested"].collect()[0]["content_hash"] == "pinnedhash"
+
+
+def test_make_warehouse_backend_selection(spark, tmp_path):
+    """No Iceberg runtime in this sandbox: auto falls back to the parquet
+    snapshot warehouse; asking for iceberg explicitly is honest about the
+    missing jar (fails on catalog setup), unknown backends are rejected."""
+    import pytest as _pytest
+
+    from dice_spark.storage import Warehouse, iceberg_available, make_warehouse
+
+    assert iceberg_available(spark) is False
+    wh = make_warehouse(spark, str(tmp_path / "wh"))
+    assert isinstance(wh, Warehouse)
+    with _pytest.raises(ValueError):
+        make_warehouse(spark, str(tmp_path / "wh2"), backend="bogus")
