@@ -431,6 +431,49 @@ def q_doc_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(emb, threshold=0.35, block_col="label")
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents re-cast as a media table
+    (payload = UTF-8 bytes, kind cycles image/audio/video), features via the
+    mapInPandas decode seam. The stub decoder is deterministic (sha256-derived
+    8-dim feature), so DuckDB can recompute every value — this checks the
+    binary-column dataflow, batch shape, and per-row failure isolation, not a
+    real codec (absent in this environment by design)."""
+    from dice_spark.operators.multimodal import extract_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.col("n_chars") * 10).alias("duration_ms"),
+    )
+    return extract_features(media).select(
+        "media_id", "kind", "n_bytes", "sha256", "feature", "decode_ok"
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hyperplane-LSH bucketed ANN path, driver-checked: the seeded
+    planes are deterministic literals, so DuckDB recomputes the same sign
+    buckets and the bucket-join + per-query top-k exactly. Embeddings are
+    cast to double so both engines share the arithmetic."""
+    from dice_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_bucketed_topk(queries, emb, n_planes=4, k=5, dim=64).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -482,6 +525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_dups": q_doc_minhash_dups,
         "doc_simhash_dups": q_doc_simhash_dups,
         "doc_embedding_dups": q_doc_embedding_dups,
+        "media_features": q_media_features,
+        "ann_lsh_topk": q_ann_lsh_topk,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
     }
@@ -511,6 +556,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_minhash_dups": oracle_docs.q_doc_minhash_dups(),
         "doc_simhash_dups": oracle_docs.q_doc_simhash_dups(),
         "doc_embedding_dups": oracle_docs.q_doc_embedding_dups(),
+        "media_features": oracle_docs.q_media_features(),
+        "ann_lsh_topk": oracle_docs.q_ann_lsh_topk(),
         "ann_topk": oracle_docs.q_ann_topk(),
         "ann_ivf_topk": oracle_docs.q_ann_ivf_topk(),
     }

@@ -251,3 +251,63 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
 """
+
+
+def q_media_features() -> str:
+    """Multimodal stub-decode oracle: documents as media rows, feature =
+    first 8 sha256 bytes / 255 (float32), n_bytes = UTF-8 byte length —
+    mirror of multimodal._stub_decode + the q_media_features casting."""
+    hexv = "'0123456789abcdef'"
+    byte = (
+        lambda i: f"(strpos({hexv}, substr(h, {2*i+1}, 1)) - 1) * 16"
+        f" + (strpos({hexv}, substr(h, {2*i+2}, 1)) - 1)"
+    )
+    feats = ", ".join(f"CAST(({byte(i)}) / 255.0 AS REAL)" for i in range(8))
+    return f"""
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         lower(sha256(text)) AS h,
+         CAST(strlen(text) AS INT) AS n_bytes
+  FROM documents
+)
+SELECT media_id, kind, n_bytes, h AS sha256,
+       [{feats}] AS feature,
+       TRUE AS decode_ok
+FROM m
+"""
+
+
+def q_ann_lsh_topk(n_planes: int = 4, k: int = 5, dim: int = 64, max_query_id: int = 10) -> str:
+    """Hyperplane-LSH ANN oracle: the seeded planes are literal floats, so
+    the sign buckets, bucket join, and per-query top-k reproduce exactly
+    (mirror of similarity.lsh_bucketed_topk; dot folds left-to-right like
+    Spark's aggregate)."""
+    from dice_spark.operators.dedup import hyperplane_planes
+
+    planes = hyperplane_planes(dim, n_planes, seed=42)
+
+    def dot(plane):
+        return " + ".join(f"v[{i + 1}] * {plane[i]!r}" for i in range(dim))
+
+    bucket = " || ".join(
+        f"(CASE WHEN ({dot(p)}) >= 0 THEN '1' ELSE '0' END)" for p in planes
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < {max_query_id}),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         round(list_cosine_similarity(q.qv, b.v), 6) AS cosine
+  FROM q JOIN b USING (bucket)
+  WHERE q.query_id <> b.vec_id
+)
+SELECT query_id, vec_id,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
