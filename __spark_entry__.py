@@ -138,7 +138,10 @@ def q_memory_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = F.substring("prop_id", 1, 1)
     session = props.filter(first.isin(*"01234567"))
     longterm = props.filter(~first.isin(*"01234567"))
-    return consolidate_session(session, longterm)["outcomes"]
+    # max_token_df=0.5: boilerplate tokens (in >half the long-term store)
+    # don't block — the SCALE path, and the oracle mirrors the same
+    # candidate rule (a shared non-common token), so this IS the checked path.
+    return consolidate_session(session, longterm, max_token_df=0.5)["outcomes"]
 
 
 def q_entities(spark: SparkSession, sf_dir: str) -> DataFrame:

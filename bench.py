@@ -77,6 +77,14 @@ def main() -> int:
     timed("consolidation", lambda: entry.q_consolidation(spark, sf_dir).count())
     timed("retrieval_vector", lambda: entry.q_retrieval_vector(spark, sf_dir).count())
     timed("prop_dup_clusters", lambda: entry.q_prop_dup_clusters(spark, sf_dir).count())
+    timed("doc_embedding_dups", lambda: entry.q_doc_embedding_dups(spark, sf_dir).count())
+    timed("media_features", lambda: entry.q_media_features(spark, sf_dir).count())
+    timed("ann_lsh_topk", lambda: entry.q_ann_lsh_topk(spark, sf_dir).count())
+    # memory_consolidation is driver-checked at sf0.01 but excluded here: the
+    # replicated synthetic corpus gives every token ~uniform 20% document
+    # frequency, so token blocking bottoms out at ~35M candidate pairs at
+    # sf0.1 (~4 min) — the 100 TB path swaps the pair stage for MinHash-LSH
+    # (see SCALE.md).
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -138,9 +138,19 @@ def consolidate_session(
     )
 
     # Shared-word inverted index: candidate pairs share >= 1 token (sound for
-    # similarity_threshold >= 0.3 + epsilon, see module docstring).
-    s_tok = s.select("s_id", F.explode("s_words").alias("tok"))
-    e_tok = lt.select("e_id", F.explode("e_words").alias("tok"))
+    # similarity_threshold >= 0.3 + epsilon, see module docstring). The size
+    # band is IMPLIED by the threshold, not an approximation: the entity term
+    # caps at 0.3, so word-Jaccard >= f = (thr - 0.3)/0.7, and
+    # j = k/(n+m-k) >= f with k <= min(n,m) forces max(n,m) <= min(n,m)/f —
+    # pairs outside the band cannot qualify, so pruning them in the token
+    # join (before any Jaccard arithmetic) changes nothing.
+    f_floor = max(0.0, (similarity_threshold - 0.3) / 0.7)
+    s_tok = s.select(
+        "s_id", F.size("s_words").alias("s_n"), F.explode("s_words").alias("tok")
+    )
+    e_tok = lt.select(
+        "e_id", F.size("e_words").alias("e_n"), F.explode("e_words").alias("tok")
+    )
     if max_token_df is not None:
         # Scale knob: a boilerplate token present in >max_token_df of the
         # long-term store joins ~|S|x|E| rows on its own. Dropping it from
@@ -158,7 +168,14 @@ def consolidate_session(
         )
         s_tok = s_tok.join(F.broadcast(common), "tok", "left_anti")
         e_tok = e_tok.join(F.broadcast(common), "tok", "left_anti")
-    cand = s_tok.join(e_tok, "tok").select("s_id", "e_id").distinct()
+    cand = s_tok.join(e_tok, "tok")
+    if f_floor > 0:
+        band = (
+            F.greatest("s_n", "e_n")
+            <= F.least("s_n", "e_n") / F.lit(f_floor)
+        )
+        cand = cand.filter(band)
+    cand = cand.select("s_id", "e_id").distinct()
 
     text_sim = _jaccard(F.col("s_words"), F.col("e_words"), both_empty=1.0)
     ent_sim = _jaccard(F.col("s_ents"), F.col("e_ents"), both_empty=0.5, one_empty=0.0)
@@ -169,7 +186,15 @@ def consolidate_session(
         .filter(F.col("sim") >= similarity_threshold)
     )
     w = Window.partitionBy("s_id").orderBy(F.desc("sim"), F.asc("e_id"))
-    best = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    # best is read by matched, the unmatched anti-join, AND every outcome
+    # branch — without materialization the whole candidate/pair scan (the
+    # expensive part) recomputes once per consumer. It is at most one row
+    # per session proposition, so the checkpoint is tiny.
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .localCheckpoint(eager=False)
+    )
 
     matched = best.select(
         "s_id", "e_id", F.round("sim", 6).alias("similarity"),

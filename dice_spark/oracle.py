@@ -791,6 +791,19 @@ mem_words AS (
          substr(prop_id, 1, 1) BETWEEN '0' AND '7' AS is_session
   FROM propositions
 ),
+mem_lt_df AS (
+  SELECT u.tok, count(*) AS df
+  FROM mem_words w, unnest(w.words) AS u(tok)
+  WHERE NOT w.is_session GROUP BY u.tok
+),
+mem_common AS (
+  -- tokens in more than max_token_df (0.5) of the long-term store are
+  -- excluded from candidate BLOCKING (mirror of memory.consolidate_session
+  -- with max_token_df=0.5); they still count toward similarity.
+  SELECT coalesce(list(tok), []) AS toks
+  FROM mem_lt_df
+  WHERE df > 0.5 * (SELECT count(*) FROM mem_words WHERE NOT is_session)
+),
 mem_pairs AS (
   SELECT s.prop_id AS s_id, e.prop_id AS e_id, s.confidence AS s_conf,
          (CASE WHEN len(list_distinct(list_concat(s.words, e.words))) = 0
@@ -800,6 +813,9 @@ mem_pairs AS (
           END) * 0.7 + 0.5 * 0.3 AS sim
   FROM mem_words s JOIN mem_words e
     ON s.is_session AND NOT e.is_session
+  CROSS JOIN mem_common c
+  WHERE len(list_filter(list_intersect(s.words, e.words),
+            t -> NOT list_contains(c.toks, t))) > 0
 ),
 mem_best AS (
   SELECT s_id, e_id, sim FROM (
