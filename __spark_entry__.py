@@ -318,9 +318,11 @@ def q_revision_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
     last = F.substring("conv_id", -1, 1)
 
     def props_of(t: DataFrame) -> DataFrame:
+        # revise_batch reads each side several times (mentions, text joins,
+        # the revise arithmetic) — checkpoint so extraction runs once per side.
         return triples_to_propositions(
             extract_triples_udf(split_turns(assemble_windows(t))), CTX
-        )
+        ).localCheckpoint(eager=False)
 
     out = revise_batch(props_of(tr.filter(last != "1")), props_of(tr.filter(last == "1")))
     return out.groupBy("revision_outcome").agg(
@@ -386,6 +388,47 @@ def q_retrieval_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- training-data pipeline queries (documents / embeddings) ----------------------
+
+
+def q_retrieval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RetrievalRouter HYBRID mode driver-checked: vector tier 0 (letter-count
+    cosine vs the query text) plus graph tier 1 (props mentioning entities
+    within 2 hops of the Alice Nguyen entity, minus the vector hits, sentinel
+    score). Exercises the GRAPH_WALK machinery and the tiered merge."""
+    from dice_spark.operators.projection import project_edges
+    from dice_spark.operators.router import DiscoveryQuery, retrieve
+
+    c = _classified(spark, sf_dir).localCheckpoint(eager=False)
+    edges = project_edges(c)
+    prop_entities = (
+        c.select("prop_id", F.col("subj_id").alias("resolved_id"))
+        .unionByName(c.select("prop_id", F.col("obj_id").alias("resolved_id")))
+        .filter(F.col("resolved_id").isNotNull())
+        .distinct()
+    )
+    # Deterministic probe entity: the resolved component of "alice nguyen"
+    # (read off the classified rows — no second pipeline run; the point
+    # lookup is one driver-side take(1)).
+    hit = (
+        c.filter(
+            (norm_key("subj_span") == "alice nguyen")
+            & (F.lower("subj_type") == "person")
+            & F.col("subj_id").isNotNull()
+        )
+        .select("subj_id")
+        .take(1)
+    )
+    entity_id = hit[0]["subj_id"] if hit else "missing"
+    q = DiscoveryQuery(
+        mode="HYBRID",
+        text="alice nguyen collaborates with project apollo",
+        entity_id=entity_id,
+        top_k=50,
+        depth=2,
+        similarity_threshold=0.9,
+    )
+    out = retrieve(c, q, CTX, prop_entities=prop_entities, edges=edges)
+    return out["propositions"].select("prop_id", "tier", "score")
 
 
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -522,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revision_outcomes": q_revision_outcomes,
         "consolidation": q_consolidation,
         "retrieval_vector": q_retrieval_vector,
+        "retrieval_hybrid": q_retrieval_hybrid,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_stats": q_doc_stats,
         "doc_ngram_dups": q_doc_ngram_dups,
@@ -553,6 +597,7 @@ def oracle_sql() -> dict[str, str]:
         "revision_outcomes": oracle.q_revision_outcomes(),
         "consolidation": oracle.q_consolidation(),
         "retrieval_vector": oracle.q_retrieval_vector(),
+        "retrieval_hybrid": oracle.q_retrieval_hybrid(),
         "doc_exact_dedup": oracle_docs.q_doc_exact_dedup(),
         "doc_stats": oracle_docs.q_doc_stats(),
         "doc_ngram_dups": oracle_docs.q_doc_ngram_dups(),

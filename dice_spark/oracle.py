@@ -844,3 +844,59 @@ mem_outcomes AS (
 SELECT prop_id, outcome, matched_id, cast(similarity AS double) AS similarity
 FROM mem_outcomes
 """
+
+
+def q_retrieval_hybrid(
+    text: str = "alice nguyen collaborates with project apollo",
+    threshold: float = 0.9,
+    top_k: int = 50,
+    depth: int = 2,
+) -> str:
+    """RetrievalRouter HYBRID oracle: vector tier (letter-count cosine >=
+    threshold) plus graph tier (props mentioning entities within ``depth``
+    hops of the alice-nguyen component over the projected edges, minus the
+    vector hits, -inf sentinel score), ordered (tier, score desc, prop_id)."""
+    emb_p = _char_emb_sql("lower(text)")
+    emb_q = _char_emb_sql(f"'{text}'")
+    return base_ctes() + canonicalization_ctes() + edges_ctes() + f""",
+rh_start AS (
+  SELECT resolved_id AS eid FROM mapping
+  WHERE norm_key = 'alice nguyen' AND type_key = 'person'
+),
+rh_und AS (
+  SELECT source_id AS src, target_id AS dst FROM edges
+  UNION SELECT target_id, source_id FROM edges
+),
+rh_walk(id, d) AS (
+  SELECT eid, 0 FROM rh_start
+  UNION
+  SELECT u.dst, rh_walk.d + 1 FROM rh_walk JOIN rh_und u ON u.src = rh_walk.id
+  WHERE rh_walk.d < {depth}
+),
+rh_reach AS (
+  SELECT DISTINCT id FROM rh_walk
+  WHERE id NOT IN (SELECT eid FROM rh_start)
+),
+rh_pe AS (
+  SELECT prop_id, subj_id AS rid FROM resolved_props WHERE subj_id IS NOT NULL
+  UNION
+  SELECT prop_id, obj_id FROM resolved_props WHERE obj_id IS NOT NULL
+),
+rh_vec AS (
+  SELECT prop_id, tier, score FROM (
+    SELECT prop_id, 0 AS tier,
+           round(list_cosine_similarity({emb_p}, {emb_q}), 6) AS score
+    FROM propositions
+  ) WHERE score >= {threshold}
+),
+rh_graph AS (
+  SELECT DISTINCT pe.prop_id, 1 AS tier, CAST('-infinity' AS DOUBLE) AS score
+  FROM rh_pe pe JOIN rh_reach r ON pe.rid = r.id
+  WHERE pe.prop_id NOT IN (SELECT prop_id FROM rh_vec)
+)
+SELECT prop_id, tier, score FROM (
+  SELECT * FROM rh_vec UNION ALL SELECT * FROM rh_graph
+)
+ORDER BY tier ASC, score DESC, prop_id ASC
+LIMIT {top_k}
+"""
