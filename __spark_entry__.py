@@ -431,6 +431,47 @@ def q_retrieval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["propositions"].select("prop_id", "tier", "score")
 
 
+def q_reconciler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciler against the durable graph (RepositoryBackedReconciler):
+    conversations split into an existing store (~90%) and an incoming batch
+    (conv ids ending '1'); the incoming batch's edges are ADOPTED when their
+    edge_ref already exists in the store, PROJECTED otherwise. Entities come
+    from ONE global canonicalization, as in the reference (the store and the
+    batch share the resolver)."""
+    from dice_spark.operators.projection import reconcile_edges
+
+    triples = _triples(spark, sf_dir).localCheckpoint(eager=False)
+    _, mapping = canonicalize_mentions(_mentions(triples), CTX)
+    subj_map = mapping.select(
+        F.col("norm_key").alias("_sk"), F.col("type_key").alias("_st"),
+        F.col("resolved_id").alias("subj_id"),
+    )
+    obj_map = mapping.select(
+        F.col("norm_key").alias("_ok"), F.col("type_key").alias("_ot"),
+        F.col("resolved_id").alias("obj_id"),
+    )
+
+    def edges_of(t: DataFrame) -> DataFrame:
+        props = (
+            triples_to_propositions(t, CTX)
+            .withColumn("_sk", norm_key("subj_span"))
+            .withColumn("_st", F.lower("subj_type"))
+            .withColumn("_ok", norm_key("obj_span"))
+            .withColumn("_ot", F.lower("obj_type"))
+            .join(subj_map, ["_sk", "_st"], "left")
+            .join(obj_map, ["_ok", "_ot"], "left")
+            .drop("_sk", "_st", "_ok", "_ot")
+        )
+        return project_edges(classify_projection(props, relations_df(t.sparkSession)))
+
+    last = F.substring("conv_id", -1, 1)
+    existing = edges_of(triples.filter(last != "1"))
+    batch = edges_of(triples.filter(last == "1"))
+    return reconcile_edges(batch, existing).select(
+        "edge_ref", "edge_type", "confidence", "lifecycle"
+    )
+
+
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return exact_dedup(docs).select("canon_hash", "n_docs", "keep_id")
@@ -566,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consolidation": q_consolidation,
         "retrieval_vector": q_retrieval_vector,
         "retrieval_hybrid": q_retrieval_hybrid,
+        "reconciler": q_reconciler,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_stats": q_doc_stats,
         "doc_ngram_dups": q_doc_ngram_dups,
@@ -598,6 +640,7 @@ def oracle_sql() -> dict[str, str]:
         "consolidation": oracle.q_consolidation(),
         "retrieval_vector": oracle.q_retrieval_vector(),
         "retrieval_hybrid": oracle.q_retrieval_hybrid(),
+        "reconciler": oracle.q_reconciler(),
         "doc_exact_dedup": oracle_docs.q_doc_exact_dedup(),
         "doc_stats": oracle_docs.q_doc_stats(),
         "doc_ngram_dups": oracle_docs.q_doc_ngram_dups(),

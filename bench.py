@@ -81,6 +81,7 @@ def main() -> int:
     timed("media_features", lambda: entry.q_media_features(spark, sf_dir).count())
     timed("ann_lsh_topk", lambda: entry.q_ann_lsh_topk(spark, sf_dir).count())
     timed("retrieval_hybrid", lambda: entry.q_retrieval_hybrid(spark, sf_dir).count())
+    timed("reconciler", lambda: entry.q_reconciler(spark, sf_dir).count())
     # memory_consolidation is driver-checked at sf0.01 but excluded here: the
     # replicated synthetic corpus gives every token ~uniform 20% document
     # frequency, so token blocking bottoms out at ~35M candidate pairs at

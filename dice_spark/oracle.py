@@ -900,3 +900,55 @@ SELECT prop_id, tier, score FROM (
 ORDER BY tier ASC, score DESC, prop_id ASC
 LIMIT {top_k}
 """
+
+
+def q_reconciler(min_confidence: float = DEFAULT_MIN_CONFIDENCE) -> str:
+    """Reconciler oracle (mirror of projection.reconcile_edges over the
+    conv-id split in __spark_entry__): per-batch propositions resolved
+    against the GLOBAL mapping, classified, projected to edges; the incoming
+    batch's edge_refs that already exist in the store read ADOPTED."""
+    nk_s = duckdb_norm_key_sql("p.subj_span")
+    nk_o = duckdb_norm_key_sql("p.obj_span")
+    return base_ctes() + canonicalization_ctes() + f""",
+rc_props AS MATERIALIZED (
+  SELECT case when substr(conv_id, -1, 1) = '1' then 1 else 0 end AS batch,
+         md5('{CTX}' || '|' || sentence) AS prop_id,
+         sentence AS text,
+         min(predicate) AS predicate,
+         min(subj_span) AS subj_span,
+         min(obj_span) AS obj_span,
+         min(subj_type) AS subj_type,
+         min(obj_type) AS obj_type,
+         round(least(min(confidence) * (1 + 0.3 * (count(*) - 1)), 0.99), 6) AS confidence
+  FROM typed_triples GROUP BY 1, sentence
+),
+rc_resolved AS (
+  SELECT p.*, ms.resolved_id AS subj_id, mo.resolved_id AS obj_id,
+         r.subject_type AS r_subj_type, r.object_type AS r_obj_type
+  FROM rc_props p
+  LEFT JOIN mapping ms ON ms.norm_key = {nk_s} AND ms.type_key = lower(p.subj_type)
+  LEFT JOIN mapping mo ON mo.norm_key = {nk_o} AND mo.type_key = lower(p.obj_type)
+  LEFT JOIN relations r ON r.predicate = p.predicate
+),
+rc_edge_rows AS (
+  SELECT batch, subj_id AS source_id, obj_id AS target_id,
+         regexp_replace(upper(trim(predicate)), '\\s+', '_', 'g') AS edge_type,
+         confidence
+  FROM rc_resolved
+  WHERE confidence >= {min_confidence}
+    AND subj_id IS NOT NULL AND obj_id IS NOT NULL
+    AND NOT ((r_subj_type IS NOT NULL AND lower(r_subj_type) <> lower(subj_type))
+          OR (r_obj_type IS NOT NULL AND lower(r_obj_type) <> lower(obj_type)))
+),
+rc_edges AS (
+  SELECT batch, source_id, target_id, edge_type,
+         round(max(confidence), 6) AS confidence,
+         source_id || '-[' || edge_type || ']->' || target_id AS edge_ref
+  FROM rc_edge_rows GROUP BY batch, source_id, target_id, edge_type
+)
+SELECT b.edge_ref, b.edge_type, b.confidence,
+       case when e.edge_ref IS NOT NULL then 'ADOPTED' else 'PROJECTED' end AS lifecycle
+FROM (SELECT * FROM rc_edges WHERE batch = 1) b
+LEFT JOIN (SELECT DISTINCT edge_ref FROM rc_edges WHERE batch = 0) e
+  ON e.edge_ref = b.edge_ref
+"""
