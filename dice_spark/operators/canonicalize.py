@@ -159,12 +159,27 @@ def connected_components(
             .groupBy(sym.b.alias("id"))
             .agg(F.min("component").alias("neigh_min"))
         )
-        new_labels = (
+        cand = (
             labels.join(neigh, "id", "left")
             .select(
                 "id",
-                F.least(F.col("component"), F.coalesce("neigh_min", F.col("component"))).alias("component"),
-                (F.coalesce("neigh_min", F.col("component")) < F.col("component")).alias("changed"),
+                F.col("component").alias("_old"),
+                F.least(F.col("component"), F.coalesce("neigh_min", F.col("component"))).alias("c1"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        # Pointer jumping (path halving): component <- label(component).
+        # Labels are always ids within the same component, so the jump
+        # preserves the invariant and the fixpoint is unchanged — but deep
+        # chains converge in O(log diameter) iterations instead of
+        # O(diameter) (proposition near-dup chains measured diameter ~16).
+        m = cand.select(F.col("id").alias("_mid"), F.col("c1").alias("_mc"))
+        new_labels = (
+            cand.join(m, cand.c1 == m._mid, "left")
+            .select(
+                "id",
+                F.least("c1", F.coalesce("_mc", "c1")).alias("component"),
+                (F.least("c1", F.coalesce("_mc", "c1")) < F.col("_old")).alias("changed"),
             )
             .localCheckpoint(eager=False)
         )
