@@ -540,8 +540,23 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         (F.col("n_chars") * 10).alias("duration_ms"),
     )
+    # The driver canonicalizer sorts every column via pandas and cannot
+    # factorize list values, so the array<float> feature is emitted as a
+    # comma-joined string of the recovered sha bytes (feature[i]*255 rounds
+    # back to the exact byte) — scalar in BOTH engines, values unchanged.
     return extract_features(media).select(
-        "media_id", "kind", "n_bytes", "sha256", "feature", "decode_ok"
+        "media_id",
+        "kind",
+        "n_bytes",
+        "sha256",
+        F.array_join(
+            F.transform(
+                "feature",
+                lambda x: F.round(x.cast("double") * 255).cast("int").cast("string"),
+            ),
+            ",",
+        ).alias("feature"),
+        "decode_ok",
     )
 
 

@@ -262,7 +262,12 @@ def q_media_features() -> str:
         lambda i: f"(strpos({hexv}, substr(h, {2*i+1}, 1)) - 1) * 16"
         f" + (strpos({hexv}, substr(h, {2*i+2}, 1)) - 1)"
     )
-    feats = ", ".join(f"CAST(({byte(i)}) / 255.0 AS REAL)" for i in range(8))
+    # Emitted as a comma-joined string of the raw byte ints (the Spark side
+    # recovers them via round(feature*255)) — the driver canonicalizer sorts
+    # columns in pandas and cannot handle list values, so both engines emit
+    # a scalar here. Values are unchanged: byte/255.0 (float32) * 255 rounds
+    # back to the exact byte.
+    feats = ", ".join(f"CAST(({byte(i)}) AS INT)" for i in range(8))
     return f"""
 WITH m AS (
   SELECT CAST(doc_id AS VARCHAR) AS media_id,
@@ -272,7 +277,7 @@ WITH m AS (
   FROM documents
 )
 SELECT media_id, kind, n_bytes, h AS sha256,
-       [{feats}] AS feature,
+       array_to_string([{feats}], ',') AS feature,
        TRUE AS decode_ok
 FROM m
 """
