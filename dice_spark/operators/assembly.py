@@ -24,6 +24,19 @@ OVERLAP_SIZE = 2
 TRIGGER_INTERVAL = 4
 
 
+def turn_render_expr(s, has_name: bool):
+    """MessageFormatter.format (ConversationSource.kt:48-62): "name (role):
+    content" when the turn struct carries a non-empty sender name, plain
+    "role: text" otherwise. Shared by the batch (assemble_windows) and
+    incremental/streaming (assemble_triggered) paths so identical input
+    renders identical chunk text — and identical content hashes — on both."""
+    plain = F.concat(s["role"], F.lit(": "), s["text"])
+    if not has_name:
+        return plain
+    named = F.concat(s["name"], F.lit(" ("), s["role"], F.lit("): "), s["text"])
+    return F.when(s["name"].isNotNull() & (F.length(s["name"]) > 0), named).otherwise(plain)
+
+
 def assemble_windows(
     transcripts: DataFrame,
     window_size: int = WINDOW_SIZE,
@@ -61,14 +74,9 @@ def assemble_windows(
         )
     )
 
-    def render(s):
-        plain = F.concat(s["role"], F.lit(": "), s["text"])
-        if not has_name:
-            return plain
-        named = F.concat(s["name"], F.lit(" ("), s["role"], F.lit("): "), s["text"])
-        return F.when(s["name"].isNotNull() & (F.length(s["name"]) > 0), named).otherwise(plain)
-
-    rendered = F.concat_ws("\n\n", F.transform(F.col("turns"), render))
+    rendered = F.concat_ws(
+        "\n\n", F.transform(F.col("turns"), lambda s: turn_render_expr(s, has_name))
+    )
     return grouped.select(
         F.concat_ws(
             ":",

@@ -97,7 +97,20 @@ def abstraction_pass(
             F.round(F.avg("decay"), 6).alias("decay"),
         )
         .select(
-            F.md5(F.concat_ws("|", F.lit(context_id), F.lit("abs"), F.col("resolved_id"))).alias("prop_id"),
+            # The id digests the member set, not just the entity: when a
+            # group grows past a prior abstraction the guard (full coverage
+            # only) re-abstracts, and the new row must NOT collide with the
+            # stale one — the reference's abstractor mints fresh ids per run
+            # (AbstractionPass.kt:104 "abstractions all carry fresh ids").
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(context_id),
+                    F.lit("abs"),
+                    F.col("resolved_id"),
+                    F.array_join("source_ids", ","),
+                )
+            ).alias("prop_id"),
             F.lit(context_id).alias("context_id"),
             F.concat(
                 F.lit("Summary["), F.col("resolved_id"), F.lit("]: "),

@@ -66,9 +66,13 @@ def neighborhood(
         from dice_spark.operators.provenance import AUTHORITY_TIERS, UNKNOWN_ORDINAL
 
         floor_ord = AUTHORITY_TIERS.index(min_authority)
-        tier_ord = F.array_position(
+        pos = F.array_position(
             F.array(*[F.lit(t) for t in AUTHORITY_TIERS]), F.col("authority_tier")
-        ) - 1
+        )
+        # array_position returns 0 for a tier string not in the list; the
+        # reference fails safe (unresolvable authority -> UNKNOWN -> dropped
+        # by any floor), so map 0 to UNKNOWN_ORDINAL instead of -1.
+        tier_ord = F.when(pos == 0, F.lit(UNKNOWN_ORDINAL)).otherwise(pos - 1)
         edges = edges.filter((tier_ord <= floor_ord) & (tier_ord < UNKNOWN_ORDINAL))
     sym = _undirected(edges).cache()
     visited = spark.createDataFrame(

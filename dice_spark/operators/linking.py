@@ -298,7 +298,12 @@ def resolve_against_entities(
             .filter((F.col("_rn") == 1) & (F.col("score") >= BAKEOFF_ACCEPT))
             .select("span", "type_key", "entity_id", F.lit("BAKEOFF").alias("resolution_level"))
         )
-        resolved = resolved.unionByName(best)
+        # Materialize the vector-tier resolutions (a few slim columns) so the
+        # cached candidate relation can be released here instead of pinning
+        # executor memory for the session's lifetime; eager localCheckpoint
+        # avoids the AQE zip-partition trap that a lazy one would re-open.
+        resolved = resolved.unionByName(best).localCheckpoint(eager=True)
+        cand.unpersist()
     return m.join(resolved, ["span", "type_key"], "left").withColumn(
         "resolution_level", F.coalesce("resolution_level", F.lit("NO_MATCH"))
     ).withColumnRenamed("entity_id", "resolved_id")

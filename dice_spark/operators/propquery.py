@@ -134,6 +134,13 @@ def apply_prop_query(
         ("last_touched", query.revised_after, query.revised_before),
         ("last_accessed", query.accessed_after, query.accessed_before),
     ):
+        # A time filter against a store lacking the column must raise like
+        # every other filter does — _opt_col's NULL placeholder would make
+        # the comparison filter ALL rows out silently.
+        if (after is not None or before is not None) and col not in out.columns:
+            raise ValueError(
+                f"time filter on {col!r} but the store has no such column"
+            )
         if after is not None:
             out = out.filter(_opt_col(out, col) >= _ts(after))
         if before is not None:

@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dice_spark.operators.assembly import OVERLAP_SIZE, TRIGGER_INTERVAL, WINDOW_SIZE
+from dice_spark.operators.assembly import (
+    OVERLAP_SIZE,
+    TRIGGER_INTERVAL,
+    WINDOW_SIZE,
+    turn_render_expr,
+)
 
 
 def triggered_windows(
@@ -60,10 +65,11 @@ def assemble_triggered(transcripts: DataFrame, windows: DataFrame) -> DataFrame:
     t = transcripts.join(windows, "conv_id").filter(
         (F.col("turn_idx") >= F.col("window_start")) & (F.col("turn_idx") < F.col("window_end"))
     )
-    turns = F.array_sort(F.collect_list(F.struct("turn_idx", "role", "text")))
+    has_name = "name" in transcripts.columns
+    struct_cols = ["turn_idx", "role", "text"] + (["name"] if has_name else [])
+    turns = F.array_sort(F.collect_list(F.struct(*struct_cols)))
     rendered = F.concat_ws(
-        "\n\n",
-        F.transform(turns, lambda s: F.concat(s["role"], F.lit(": "), s["text"])),
+        "\n\n", F.transform(turns, lambda s: turn_render_expr(s, has_name))
     )
     return (
         t.groupBy("conv_id", "window_start", "window_end")

@@ -131,3 +131,37 @@ def test_dream_loop_with_decay_sweep_tail(spark):
     counts = {(r["pass"], r["consolidation_outcome"]): r["n"] for r in out["counters"].collect()}
     assert counts[("decay_sweep", "SWEPT")] == 1
     assert out["sweep_records"].count() == 1
+
+
+def test_abstraction_regrowth_mints_fresh_id(spark):
+    """When a group grows past a prior abstraction, the new abstraction's
+    prop_id must differ from the stale one (id digests the member set, like
+    the reference abstractor's fresh ids — AbstractionPass.kt:104)."""
+    from dice_spark.operators.consolidation import abstraction_pass
+
+    def tables_of(n):
+        rows = [
+            (f"p{i}", "c1", f"fact {i}", 0.9, 0.01, False, "ACTIVE", 0, [])
+            for i in range(n)
+        ]
+        props = spark.createDataFrame(
+            rows,
+            "prop_id string, context_id string, text string, confidence double, "
+            "decay double, pinned boolean, status string, level int, "
+            "source_ids array<string>",
+        )
+        pe = spark.createDataFrame(
+            [(f"p{i}", "e1") for i in range(n)],
+            "prop_id string, resolved_id string",
+        )
+        return props, pe
+
+    first = abstraction_pass(*tables_of(5), "c1", threshold=5)
+    abs1 = first.filter("consolidation_outcome = 'ABSTRACTED'").collect()
+    assert len(abs1) == 1
+
+    # Re-run over a grown group (the guard's full-coverage check misses).
+    second = abstraction_pass(*tables_of(7), "c1", threshold=5)
+    abs2 = second.filter("consolidation_outcome = 'ABSTRACTED'").collect()
+    assert len(abs2) == 1
+    assert abs1[0].prop_id != abs2[0].prop_id

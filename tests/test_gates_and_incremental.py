@@ -76,3 +76,25 @@ def test_trigger_threshold(spark):
     chunks = assemble_triggered(tr, triggered_windows(tr, bm))
     got = {r["conv_id"]: r["n_turns"] for r in chunks.collect()}
     assert got == {"big": 7}
+
+
+def test_triggered_chunks_render_names_like_batch(spark):
+    """The incremental path must render named turns exactly like the batch
+    assembler ("name (role): text"), so identical input yields identical
+    chunk text and content hashes on both paths."""
+    from dice_spark.operators.assembly import assemble_windows
+    from dice_spark.streaming.incremental import assemble_triggered, triggered_windows
+
+    tr = spark.createDataFrame(
+        [("c1", i, "user" if i % 2 == 0 else "agent",
+          f"line {i}", "Alice" if i % 2 == 0 else None) for i in range(4)],
+        "conv_id string, turn_idx int, role string, text string, name string",
+    )
+    batch = assemble_windows(tr, window_size=4, overlap=0).collect()
+    inc = assemble_triggered(
+        tr, triggered_windows(tr, None, window_size=4, overlap=0, trigger=1)
+    ).collect()
+    assert len(batch) == 1 and len(inc) == 1
+    assert "Alice (user): line 0" in inc[0].text
+    assert inc[0].text == batch[0].text
+    assert inc[0].content_hash == batch[0].content_hash

@@ -56,3 +56,25 @@ def test_neighborhood_predecessor_attribution(spark):
     e = prop_edges(_props(spark))
     preds = {r.entity_id: r.pred for r in neighborhood(e, "alice", 5).collect()}
     assert preds == {"acme": "alice", "bob": "acme", "carol": "bob", "dan": "carol"}
+
+
+def test_neighborhood_unrecognized_tier_dropped_by_any_floor(spark):
+    """A tier string outside AUTHORITY_TIERS fails safe like UNKNOWN: dropped
+    by every floor, never promoted above PRIMARY (GraphQuery.kt:92-100)."""
+    rows = [
+        ("p1", "alice", "acme", "ACTIVE", "PRIMARY"),
+        ("p2", "acme", "bob", "ACTIVE", "bogus-tier"),
+    ]
+    e = prop_edges(
+        spark.createDataFrame(
+            rows,
+            "prop_id string, subj_id string, obj_id string, status string, "
+            "authority_tier string",
+        )
+    )
+    for floor in ["PRIMARY", "SECONDARY", "DERIVED", "UNKNOWN"]:
+        got = {
+            r.entity_id
+            for r in neighborhood(e, "alice", 3, min_authority=floor).collect()
+        }
+        assert got == {"acme"}, floor

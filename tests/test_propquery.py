@@ -134,3 +134,21 @@ def test_find_similar_with_scores_plain_and_filtered(spark):
     # topK clamp applies after ordering.
     out3 = find_similar_with_scores(props, "alice works at acme", threshold=0.0, top_k=1)
     assert [r.prop_id for r in out3.collect()] == ["p1"]
+
+
+def test_time_filter_on_missing_column_raises(spark):
+    """A time filter against a store lacking the column raises instead of
+    silently matching zero rows (the NULL-placeholder comparison trap)."""
+    bare = spark.createDataFrame(
+        [("p1", "c1", "t", "ACTIVE", 0, 0.9, 0.01, 0, False)],
+        "prop_id string, context_id string, text string, status string, "
+        "level int, confidence double, decay double, reinforce_count int, "
+        "pinned boolean",
+    )
+    for q in (
+        PropQuery(created_after="2026-01-01"),
+        PropQuery(revised_before="2026-01-01"),
+        PropQuery(accessed_after="2026-01-01"),
+    ):
+        with pytest.raises(ValueError, match="time filter"):
+            apply_prop_query(bare, q)
