@@ -115,13 +115,21 @@ def q_propositions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_prop_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """findClusters + DuplicateCollectorStrategy: similarity components over
-    the batch propositions, one survivor per component, rest marked DUPLICATE."""
+    the batch propositions, one survivor per component, rest marked DUPLICATE.
+
+    Runs the banded-MinHash-LSH candidate path (find_clusters(use_lsh=True))
+    — the 100 TB shape, bucket-bounded instead of block-squared — with the
+    oracle mirroring the same LSH candidates. On the letter-count stand-in
+    embedding LSH recall vs the exact-cosine path is corpus-dependent (the
+    0.95-cosine matches here are formulaic, not textual, near-dups); with a
+    real embedding, duplicates are near-identical texts whose shingle
+    Jaccard ~1 collides with probability ~1."""
     from dice_spark.operators.propcluster import duplicate_collector
 
     props = triples_to_propositions(_triples(spark, sf_dir), CTX).localCheckpoint(
         eager=False
     )
-    return duplicate_collector(props).select(
+    return duplicate_collector(props, use_lsh=True).select(
         "prop_id", "survivor_id", "cluster_size", "mark"
     )
 
@@ -648,7 +656,7 @@ def oracle_sql() -> dict[str, str]:
         "two_hop_links": oracle.q_two_hop(),
         "decay_sweep": oracle.q_decay_sweep(),
         "prop_query": oracle.q_prop_query(),
-        "prop_dup_clusters": oracle.q_prop_dup_clusters(),
+        "prop_dup_clusters": oracle.q_prop_dup_clusters(use_lsh=True),
         "memory_consolidation": oracle.q_memory_consolidation(),
         "linking_ladder": oracle.q_linking_ladder(),
         "revision_outcomes": oracle.q_revision_outcomes(),

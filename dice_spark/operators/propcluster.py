@@ -63,47 +63,134 @@ def find_clusters(
     id_col: str = "prop_id",
     text_col: str = "text",
     block_cols: tuple[str, ...] = ("context_id", "predicate"),
+    use_lsh: bool = False,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
 ) -> DataFrame:
     """Similar-proposition pairs: (anchor_id, other_id, cosine).
 
     anchor_id < other_id (the reference's anchor dedup), cosine >= threshold,
     at most ``top_k`` neighbours per anchor ordered by (cosine desc, other_id
     asc — deterministic tie-break for the reference's stable sort).
+
+    ``use_lsh=False`` (reference-exact shape): candidate blocking is the
+    (context, predicate) equi-keys PLUS a canonical-text length band
+    (floor(len/8)) — near-identical texts have near-identical lengths, and
+    the band bounds per-block pair cost the same way the fuzzy linking tier's
+    length band does. O(block²) inside a hot (context, predicate) block.
+
+    ``use_lsh=True`` (the 100 TB path): candidate pairs come from the banded
+    MinHash-LSH self-join over canonical-text shingles — the same
+    explode -> groupBy-min -> band-bucket-join shape as
+    ``dedup.minhash_lsh_pairs``, with the block key folded into the band key
+    so candidates never cross (context, predicate) blocks. Exact cosine runs
+    only within candidates; pair cost is bucket-bounded instead of
+    block-squared. Recall follows the (bands, rows) S-curve — near-identical
+    texts (shingle Jaccard ~1) collide with probability ~1.
     """
-    # Candidate blocking: (context, predicate) equi-keys PLUS a canonical-text
-    # length band (floor(len/8)) — near-identical texts have near-identical
-    # lengths, and the band bounds per-block pair cost the same way the fuzzy
-    # linking tier's length band does. Boundary pairs straddling a band edge
-    # are missed: the standard banding trade-off, shared with every LSH path
-    # in this engine (the 100 TB path swaps this stage for banded MinHash-LSH
-    # anyway).
-    canon = canonicalize_text(text_col)
     # Norms are hoisted to the row side: one interpreted-HOF pass per PAIR
     # (the dot) instead of three — bit-identical to cosine_expr (same folds).
-    base = props.select(
-        *[F.col(c) for c in block_cols],
-        F.col(id_col).alias("pid"),
-        char_embedding(canon).alias("emb"),
-        F.floor(F.length(canon) / 8).alias("_band"),
-    ).withColumn("_nrm", norm_expr(F.col("emb")))
-    a = base.alias("a")
-    b = base.alias("b")
-    cond = (F.col("a.pid") < F.col("b.pid")) & (F.col("a._band") == F.col("b._band"))
-    for c in block_cols:
-        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
-    pairs = (
-        a.join(b, cond)
-        .select(
-            F.col("a.pid").alias("anchor_id"),
-            F.col("b.pid").alias("other_id"),
-            F.round(
-                dot_expr(F.col("a.emb"), F.col("b.emb"))
-                / (F.col("a._nrm") * F.col("b._nrm")),
-                6,
-            ).alias("cosine"),
+    base = (
+        props.select(
+            *[F.col(c) for c in block_cols],
+            F.col(id_col).alias("pid"),
+            canonicalize_text(text_col).alias("canon"),
         )
-        .filter(F.col("cosine") >= threshold)
+        .withColumn("emb", char_embedding(F.col("canon")))
+        .withColumn("_nrm", norm_expr(F.col("emb")))
     )
+    if use_lsh:
+        from dice_spark.operators.dedup import minhash_signatures_df
+
+        # Embeddings + canon are read by the signature branch AND both pair
+        # sides — materialize the vocabulary-sized row table once.
+        base = base.localCheckpoint(eager=False)
+        rows = n_hashes // bands
+        sig = minhash_signatures_df(
+            base.select("pid", "canon"), n_hashes, shingle_n,
+            text_col="canon", id_col="pid",
+        )
+        bkey = F.md5(F.concat_ws("|", *[F.col(c) for c in block_cols]))
+        bmap = base.select(F.col("pid").alias("_bpid"), bkey.alias("_bkey"))
+        banded = (
+            sig.join(bmap, sig.doc_id == bmap._bpid)
+            .select(
+                F.col("doc_id").alias("pid"),
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(bi).alias("band"),
+                                F.md5(
+                                    F.concat_ws(
+                                        "|",
+                                        F.col("_bkey"),
+                                        *[F.col(f"h{bi * rows + r}") for r in range(rows)],
+                                    )
+                                ).alias("key"),
+                            )
+                            for bi in range(bands)
+                        ]
+                    )
+                ).alias("bk"),
+            )
+            .select("pid", F.col("bk.band"), F.col("bk.key"))
+            .localCheckpoint(eager=False)
+        )
+        ca, cb = banded.alias("ca"), banded.alias("cb")
+        cand = (
+            ca.join(
+                cb,
+                (F.col("ca.band") == F.col("cb.band"))
+                & (F.col("ca.key") == F.col("cb.key"))
+                & (F.col("ca.pid") < F.col("cb.pid")),
+            )
+            .select(F.col("ca.pid").alias("a_pid"), F.col("cb.pid").alias("b_pid"))
+            .distinct()
+        )
+        ea = base.select(
+            F.col("pid").alias("a_pid"), F.col("emb").alias("a_emb"),
+            F.col("_nrm").alias("a_nrm"),
+        )
+        eb = base.select(
+            F.col("pid").alias("b_pid"), F.col("emb").alias("b_emb"),
+            F.col("_nrm").alias("b_nrm"),
+        )
+        pairs = (
+            cand.join(ea, "a_pid")
+            .join(eb, "b_pid")
+            .select(
+                F.col("a_pid").alias("anchor_id"),
+                F.col("b_pid").alias("other_id"),
+                F.round(
+                    dot_expr(F.col("a_emb"), F.col("b_emb"))
+                    / (F.col("a_nrm") * F.col("b_nrm")),
+                    6,
+                ).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+    else:
+        base = base.withColumn("_band", F.floor(F.length("canon") / 8))
+        a = base.alias("a")
+        b = base.alias("b")
+        cond = (F.col("a.pid") < F.col("b.pid")) & (F.col("a._band") == F.col("b._band"))
+        for c in block_cols:
+            cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+        pairs = (
+            a.join(b, cond)
+            .select(
+                F.col("a.pid").alias("anchor_id"),
+                F.col("b.pid").alias("other_id"),
+                F.round(
+                    dot_expr(F.col("a.emb"), F.col("b.emb"))
+                    / (F.col("a._nrm") * F.col("b._nrm")),
+                    6,
+                ).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
     w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("other_id"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))
@@ -117,6 +204,7 @@ def duplicate_collector(
     pairs: DataFrame | None = None,
     eff_conf: Column | None = None,
     id_col: str = "prop_id",
+    use_lsh: bool = False,
 ) -> DataFrame:
     """Mark duplicate propositions: one survivor per similarity component.
 
@@ -131,7 +219,7 @@ def duplicate_collector(
     ``effective_confidence(...)`` from functions.decay.
     """
     if pairs is None:
-        pairs = find_clusters(props, id_col=id_col)
+        pairs = find_clusters(props, id_col=id_col, use_lsh=use_lsh)
     score = eff_conf if eff_conf is not None else F.col("confidence")
     edges = pairs.select(F.col("anchor_id").alias("a"), F.col("other_id").alias("b"))
     members = (
@@ -140,7 +228,11 @@ def duplicate_collector(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    comps = connected_components(members, edges, node_col="pid", num_partitions=8)
+    width = int(
+        props.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    npart = max(1, min(width, members.count() // 100_000 + 1))
+    comps = connected_components(members, edges, node_col="pid", num_partitions=npart)
     scored = (
         props.select(
             F.col(id_col).alias("pid"),

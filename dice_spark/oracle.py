@@ -704,24 +704,65 @@ HAVING max(turn_idx) + 1 >= {trigger}
 """
 
 
-def q_prop_dup_clusters(threshold: float = 0.95, top_k: int = 10) -> str:
+def q_prop_dup_clusters(
+    threshold: float = 0.95,
+    top_k: int = 10,
+    use_lsh: bool = False,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> str:
     """findClusters + DuplicateCollectorStrategy oracle (mirror of
-    operators/propcluster.py): letter-count-cosine pairs blocked on
-    (context_id, predicate), anchor<other + topK per anchor, recursive-CTE
-    connected components, survivor = max(confidence, reinforce_count, id)."""
+    operators/propcluster.py): letter-count-cosine pairs, anchor<other + topK
+    per anchor, recursive-CTE connected components, survivor =
+    max(confidence, reinforce_count, id).
+
+    use_lsh=False mirrors the reference-exact candidate blocking
+    ((context_id, predicate) equi-keys + canonical-length band);
+    use_lsh=True mirrors the 100 TB path — banded-MinHash candidates over
+    canonical-text shingles with the block key folded into the band key,
+    exact cosine only within candidates (find_clusters(use_lsh=True))."""
     canon = duckdb_canonicalize_text_sql("text")
     emb = _char_emb_sql("canon")
-    return base_ctes() + f""",
-canon_props AS (
-  SELECT prop_id, context_id, predicate, confidence, reinforce_count,
-         {canon} AS canon
-  FROM propositions
-),
-emb_props AS (
-  SELECT prop_id, context_id, predicate, confidence, reinforce_count,
-         {emb} AS emb, length(canon) // 8 AS band
+    if use_lsh:
+        rows = n_hashes // bands
+        toks = "str_split(canon, ' ')"
+        sh = (
+            f"list_distinct([array_to_string({toks}[i:i+{shingle_n - 1}], ' ') "
+            f"for i in range(1, greatest(len({toks}) - {shingle_n - 1}, 1) + 1)])"
+        )
+        sig_items = ", ".join(
+            f"list_min([md5('{i}|' || s) for s in sh])" for i in range(n_hashes)
+        )
+        band_structs = ", ".join(
+            "{'band': %d, 'key': md5(bkey %s)}"
+            % (bi, "".join(f" || '|' || sig[{bi * rows + r + 1}]" for r in range(rows)))
+            for bi in range(bands)
+        )
+        pair_source = f"""
+lsh_sh AS (
+  SELECT prop_id, md5(context_id || '|' || predicate) AS bkey, {sh} AS sh
   FROM canon_props
 ),
+lsh_sig AS (SELECT prop_id, bkey, [{sig_items}] AS sig FROM lsh_sh),
+lsh_banded AS MATERIALIZED (
+  SELECT prop_id, unnest([{band_structs}], recursive := true)
+  FROM lsh_sig
+),
+lsh_cand AS (
+  SELECT DISTINCT a.prop_id AS a_pid, b.prop_id AS b_pid
+  FROM lsh_banded a JOIN lsh_banded b
+    ON a.band = b.band AND a.key = b.key AND a.prop_id < b.prop_id
+),
+raw_pairs AS (
+  SELECT c.a_pid AS anchor_id, c.b_pid AS other_id,
+         round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
+  FROM lsh_cand c
+  JOIN emb_props a ON a.prop_id = c.a_pid
+  JOIN emb_props b ON b.prop_id = c.b_pid
+),"""
+    else:
+        pair_source = """
 raw_pairs AS (
   SELECT a.prop_id AS anchor_id, b.prop_id AS other_id,
          round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine
@@ -729,7 +770,18 @@ raw_pairs AS (
     ON a.context_id = b.context_id AND a.predicate = b.predicate
    AND a.band = b.band
    AND a.prop_id < b.prop_id
+),"""
+    return base_ctes() + f""",
+canon_props AS MATERIALIZED (
+  SELECT prop_id, context_id, predicate, confidence, reinforce_count,
+         {canon} AS canon
+  FROM propositions
 ),
+emb_props AS MATERIALIZED (
+  SELECT prop_id, context_id, predicate, confidence, reinforce_count,
+         {emb} AS emb, length(canon) // 8 AS band
+  FROM canon_props
+),{pair_source}
 pairs AS (
   SELECT anchor_id, other_id FROM (
     SELECT anchor_id, other_id,

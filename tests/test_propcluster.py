@@ -79,3 +79,32 @@ def test_survivor_tie_breaks_on_reinforce_then_greatest_id(spark):
     marks = {r.prop_id: r.mark for r in duplicate_collector(df).collect()}
     # conf ties -> reinforce 2 beats 1 -> greatest id among (a2, a3) wins.
     assert marks == {"a1": "DUPLICATE", "a2": "DUPLICATE", "a3": "SURVIVOR"}
+
+
+def test_find_clusters_lsh_path_matches_exact_on_near_identical(spark):
+    """The LSH candidate path finds near-identical texts (shingle Jaccard
+    ~1 collides in every band) and still blocks on (context, predicate)."""
+    df = _props(
+        spark,
+        [
+            ("p1", "c", "WORKS_AT", "alice works at acme corp today", 0.9, 0),
+            ("p2", "c", "WORKS_AT", "alice works at acme corp today!", 0.8, 1),
+            ("p3", "c", "REPORTS_TO", "alice works at acme corp today", 0.7, 0),
+            ("p4", "c", "WORKS_AT", "zzz qqq vvv www rrr ttt", 0.7, 0),
+        ],
+    )
+    pairs = find_clusters(df, use_lsh=True).collect()
+    assert [(r.anchor_id, r.other_id) for r in pairs] == [("p1", "p2")]
+    assert pairs[0].cosine >= 0.99
+
+
+def test_duplicate_collector_lsh_passthrough(spark):
+    df = _props(
+        spark,
+        [
+            ("p1", "c", "WORKS_AT", "alice works at acme corp today", 0.8, 0),
+            ("p2", "c", "WORKS_AT", "alice works at acme corp today!", 0.95, 0),
+        ],
+    )
+    out = {r.prop_id: r.mark for r in duplicate_collector(df, use_lsh=True).collect()}
+    assert out == {"p2": "SURVIVOR", "p1": "DUPLICATE"}
