@@ -146,10 +146,13 @@ def q_memory_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = F.substring("prop_id", 1, 1)
     session = props.filter(first.isin(*"01234567"))
     longterm = props.filter(~first.isin(*"01234567"))
-    # max_token_df=0.5: boilerplate tokens (in >half the long-term store)
-    # don't block — the SCALE path, and the oracle mirrors the same
-    # candidate rule (a shared non-common token), so this IS the checked path.
-    return consolidate_session(session, longterm, max_token_df=0.5)["outcomes"]
+    # use_lsh=True: the 100 TB pair stage — banded MinHash over the word
+    # sets (the similarity's word-Jaccard term is exactly what MinHash
+    # estimates), bucket-bounded even when every token has uniform document
+    # frequency (where any token-blocking index degenerates to ~|S|x|E|).
+    # The oracle mirrors the same LSH candidate rule, so this IS the
+    # checked path.
+    return consolidate_session(session, longterm, use_lsh=True)["outcomes"]
 
 
 def q_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -657,7 +660,7 @@ def oracle_sql() -> dict[str, str]:
         "decay_sweep": oracle.q_decay_sweep(),
         "prop_query": oracle.q_prop_query(),
         "prop_dup_clusters": oracle.q_prop_dup_clusters(use_lsh=True),
-        "memory_consolidation": oracle.q_memory_consolidation(),
+        "memory_consolidation": oracle.q_memory_consolidation(use_lsh=True),
         "linking_ladder": oracle.q_linking_ladder(),
         "revision_outcomes": oracle.q_revision_outcomes(),
         "consolidation": oracle.q_consolidation(),

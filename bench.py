@@ -82,11 +82,14 @@ def main() -> int:
     timed("ann_lsh_topk", lambda: entry.q_ann_lsh_topk(spark, sf_dir).count())
     timed("retrieval_hybrid", lambda: entry.q_retrieval_hybrid(spark, sf_dir).count())
     timed("reconciler", lambda: entry.q_reconciler(spark, sf_dir).count())
-    # memory_consolidation is driver-checked at sf0.01 but excluded here: the
-    # replicated synthetic corpus gives every token ~uniform 20% document
-    # frequency, so token blocking bottoms out at ~35M candidate pairs at
-    # sf0.1 (~4 min) — the 100 TB path swaps the pair stage for MinHash-LSH
-    # (see SCALE.md).
+    # memory_consolidation runs the banded-MinHash pair stage
+    # (consolidate_session(use_lsh=True)) — bucket-bounded even on this
+    # corpus's ~uniform 20% token document frequency, where the shared-word
+    # inverted index bottomed out at ~35M candidate pairs (~4 min at sf0.1).
+    timed(
+        "memory_consolidation",
+        lambda: entry.q_memory_consolidation(spark, sf_dir).count(),
+    )
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -71,6 +71,9 @@ def consolidate_session(
     similarity_threshold: float = SIMILARITY_THRESHOLD,
     boost: float = REINFORCEMENT_BOOST,
     max_token_df: float | None = None,
+    use_lsh: bool = False,
+    n_hashes: int = 16,
+    bands: int = 8,
 ) -> dict[str, DataFrame]:
     """Consolidate a session batch into long-term memory.
 
@@ -145,13 +148,64 @@ def consolidate_session(
     # pairs outside the band cannot qualify, so pruning them in the token
     # join (before any Jaccard arithmetic) changes nothing.
     f_floor = max(0.0, (similarity_threshold - 0.3) / 0.7)
-    s_tok = s.select(
-        "s_id", F.size("s_words").alias("s_n"), F.explode("s_words").alias("tok")
-    )
-    e_tok = lt.select(
-        "e_id", F.size("e_words").alias("e_n"), F.explode("e_words").alias("tok")
-    )
-    if max_token_df is not None:
+    if use_lsh:
+        # 100 TB path: banded MinHash over the WORD sets — the similarity's
+        # word-Jaccard term is exactly what MinHash estimates, so the
+        # (bands, rows) S-curve collides qualifying pairs (J >= f_floor)
+        # with high probability even when no token is selective (uniform
+        # document frequency, where the inverted index degenerates to ~|S|x|E|).
+        # Candidates are approximate (recall < 1 near the floor); the
+        # driver oracle mirrors the same candidate rule. Cost is linear in
+        # tokens + bucket-bounded in pairs.
+        rows = n_hashes // bands
+
+        def band_keys(side: DataFrame, id_c: str, n_c: str, words_c: str) -> DataFrame:
+            tok = side.select(
+                F.col(id_c), F.size(words_c).alias(n_c), F.explode(words_c).alias("tok")
+            )
+            hashed = tok.select(
+                id_c,
+                n_c,
+                *[
+                    F.md5(F.concat(F.lit(f"{i}|"), F.col("tok"))).alias(f"mh{i}")
+                    for i in range(n_hashes)
+                ],
+            )
+            sig = hashed.groupBy(id_c, n_c).agg(
+                *[F.min(f"mh{i}").alias(f"h{i}") for i in range(n_hashes)]
+            )
+            return sig.select(
+                id_c,
+                n_c,
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(bi).alias("band"),
+                                F.md5(
+                                    F.concat_ws(
+                                        "|",
+                                        *[F.col(f"h{bi * rows + r}") for r in range(rows)],
+                                    )
+                                ).alias("key"),
+                            )
+                            for bi in range(bands)
+                        ]
+                    )
+                ).alias("bk"),
+            ).select(id_c, n_c, F.col("bk.band"), F.col("bk.key"))
+
+        cand = band_keys(s, "s_id", "s_n", "s_words").join(
+            band_keys(lt, "e_id", "e_n", "e_words"), ["band", "key"]
+        )
+    else:
+        s_tok = s.select(
+            "s_id", F.size("s_words").alias("s_n"), F.explode("s_words").alias("tok")
+        )
+        e_tok = lt.select(
+            "e_id", F.size("e_words").alias("e_n"), F.explode("e_words").alias("tok")
+        )
+    if not use_lsh and max_token_df is not None:
         # Scale knob: a boilerplate token present in >max_token_df of the
         # long-term store joins ~|S|x|E| rows on its own. Dropping it from
         # BLOCKING (similarity still counts it) misses only pairs whose
@@ -168,7 +222,8 @@ def consolidate_session(
         )
         s_tok = s_tok.join(F.broadcast(common), "tok", "left_anti")
         e_tok = e_tok.join(F.broadcast(common), "tok", "left_anti")
-    cand = s_tok.join(e_tok, "tok")
+    if not use_lsh:
+        cand = s_tok.join(e_tok, "tok")
     if f_floor > 0:
         band = (
             F.greatest("s_n", "e_n")

@@ -828,21 +828,61 @@ FROM cranked r JOIN csurv s USING (component)
 
 
 def q_memory_consolidation(
-    promotion: float = 0.6, similarity: float = 0.7, reinforce_above: float = 0.9
+    promotion: float = 0.6,
+    similarity: float = 0.7,
+    reinforce_above: float = 0.9,
+    use_lsh: bool = False,
+    n_hashes: int = 16,
+    bands: int = 8,
 ) -> str:
     """MemoryConsolidator oracle (mirror of operators/memory.py over the
     prop_id-prefix session/long-term split in __spark_entry__): similarity =
     0.7 * word-Jaccard + 0.3 * entity-Jaccard; no entity relations are
-    supplied, so the both-empty convention fixes the entity term at 0.5."""
-    return base_ctes() + f""",
-mem_words AS (
-  SELECT prop_id, text, confidence,
-         list_sort(list_distinct(list_filter(
-           str_split_regex(lower(text), '\\s+'), w -> length(w) > 0
-         ))) AS words,
-         substr(prop_id, 1, 1) BETWEEN '0' AND '7' AS is_session
-  FROM propositions
+    supplied, so the both-empty convention fixes the entity term at 0.5.
+
+    use_lsh=False mirrors the shared-word inverted index with
+    max_token_df=0.5 common-token exclusion; use_lsh=True mirrors the
+    100 TB path — banded-MinHash candidates over the word sets
+    (consolidate_session(use_lsh=True))."""
+    sim_expr = """(CASE WHEN len(list_distinct(list_concat(s.words, e.words))) = 0
+               THEN 1.0
+               ELSE cast(len(list_intersect(s.words, e.words)) AS double)
+                    / cast(len(list_distinct(list_concat(s.words, e.words))) AS double)
+          END) * 0.7 + 0.5 * 0.3"""
+    if use_lsh:
+        rows = n_hashes // bands
+        sig_items = ", ".join(
+            f"list_min([md5('{i}|' || w) for w in words])" for i in range(n_hashes)
+        )
+        band_structs = ", ".join(
+            "{'band': %d, 'key': md5(%s)}"
+            % (bi, " || '|' || ".join(f"sig[{bi * rows + r + 1}]" for r in range(rows)))
+            for bi in range(bands)
+        )
+        pair_ctes = f"""
+mem_sig AS (
+  SELECT prop_id, is_session, [{sig_items}] AS sig
+  FROM mem_words WHERE len(words) > 0
 ),
+mem_banded AS MATERIALIZED (
+  SELECT prop_id, is_session, unnest([{band_structs}], recursive := true)
+  FROM mem_sig
+),
+mem_cand AS (
+  SELECT DISTINCT s.prop_id AS s_id, e.prop_id AS e_id
+  FROM mem_banded s JOIN mem_banded e
+    ON s.band = e.band AND s.key = e.key
+  WHERE s.is_session AND NOT e.is_session
+),
+mem_pairs AS (
+  SELECT c.s_id, c.e_id, s.confidence AS s_conf,
+         {sim_expr} AS sim
+  FROM mem_cand c
+  JOIN mem_words s ON s.prop_id = c.s_id
+  JOIN mem_words e ON e.prop_id = c.e_id
+),"""
+    else:
+        pair_ctes = f"""
 mem_lt_df AS (
   SELECT u.tok, count(*) AS df
   FROM mem_words w, unnest(w.words) AS u(tok)
@@ -858,17 +898,22 @@ mem_common AS (
 ),
 mem_pairs AS (
   SELECT s.prop_id AS s_id, e.prop_id AS e_id, s.confidence AS s_conf,
-         (CASE WHEN len(list_distinct(list_concat(s.words, e.words))) = 0
-               THEN 1.0
-               ELSE cast(len(list_intersect(s.words, e.words)) AS double)
-                    / cast(len(list_distinct(list_concat(s.words, e.words))) AS double)
-          END) * 0.7 + 0.5 * 0.3 AS sim
+         {sim_expr} AS sim
   FROM mem_words s JOIN mem_words e
     ON s.is_session AND NOT e.is_session
   CROSS JOIN mem_common c
   WHERE len(list_filter(list_intersect(s.words, e.words),
             t -> NOT list_contains(c.toks, t))) > 0
-),
+),"""
+    return base_ctes() + f""",
+mem_words AS MATERIALIZED (
+  SELECT prop_id, text, confidence,
+         list_sort(list_distinct(list_filter(
+           str_split_regex(lower(text), '\\s+'), w -> length(w) > 0
+         ))) AS words,
+         substr(prop_id, 1, 1) BETWEEN '0' AND '7' AS is_session
+  FROM propositions
+),{pair_ctes}
 mem_best AS (
   SELECT s_id, e_id, sim FROM (
     SELECT s_id, e_id, sim,

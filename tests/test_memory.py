@@ -97,3 +97,31 @@ def test_max_token_df_cap_keeps_rare_token_pairs(spark):
     out = consolidate_session(session, longterm, max_token_df=0.9)
     oc = out["outcomes"].collect()[0]
     assert oc.outcome == "MERGED" and oc.matched_id == "e1"
+
+
+def test_lsh_pair_stage_matches_inverted_index_on_clear_pairs(spark):
+    """use_lsh=True (banded-MinHash candidates) finds the same outcomes as
+    the inverted-index path when pairs are clearly above the floor (identical
+    or near-identical word sets collide in every band)."""
+    longterm = _props(
+        spark,
+        [
+            ("e1", "alice works at acme", 0.8, ["c1"]),
+            ("e2", "bob likes coffee and tea", 0.7, ["c2"]),
+        ],
+    )
+    session = _props(
+        spark,
+        [
+            # identical words, no entity relations -> sim 0.7*1 + 0.5*0.3
+            # = 0.85 in [0.7, 0.9] -> MERGED with e1
+            ("s1", "alice works at acme", 0.5, ["c9"]),
+            ("s2", "carol paints murals downtown", 0.9, ["c7"]),  # PROMOTED
+            ("s3", "dan hums", 0.3, ["c6"]),                   # DISCARDED
+        ],
+    )
+    exact = consolidate_session(session, longterm)["outcomes"].collect()
+    lsh = consolidate_session(session, longterm, use_lsh=True)["outcomes"].collect()
+    as_map = lambda rows: {r.prop_id: (r.outcome, r.matched_id) for r in rows}
+    assert as_map(lsh) == as_map(exact)
+    assert as_map(lsh)["s1"] == ("MERGED", "e1")
