@@ -137,6 +137,7 @@ def resolve_against_entities(
     salt: int = 8,
     vector_tier: bool = False,
     bakeoff_scorer=None,
+    vector_bucket_planes: int | None = 4,
 ) -> DataFrame:
     """Resolve mention surface forms against an existing entity registry.
 
@@ -258,12 +259,28 @@ def resolve_against_entities(
             fuzzy.select("span", "type_key").distinct(), ["span", "type_key"], "left_anti"
         ).alias("m")
         # Candidate generation: cosine of letter-count embeddings, blocked on
-        # type. The registry side is entity vocabulary (not mention volume);
-        # beyond ~10^6 entities per type, pre-bucket both sides with
-        # dedup.hyperplane_bucket so the join key becomes (type, bucket).
+        # (type, hyperplane bucket). Type alone approaches mentions x entities
+        # inside a hot type; the sign-LSH bucket bounds the join at
+        # entities-per-bucket (2^planes buckets per type). Bucketing is
+        # approximate for mid-range candidates (a pair at angle θ shares all
+        # sign bits with probability (1-θ/π)^planes) — but exact for the
+        # word-reorder case this tier exists for: permuted names have
+        # IDENTICAL letter-count embeddings, hence identical buckets.
+        # vector_bucket_planes=None restores the exhaustive type-only join.
+        cand_cond = F.col("m.type_key") == F.col("e.e_type_key")
+        if vector_bucket_planes:
+            from dice_spark.operators.dedup import hyperplane_bucket, hyperplane_planes
+
+            planes = hyperplane_planes(
+                len(_LETTERS), vector_bucket_planes, seed=42
+            )
+            cand_cond = cand_cond & (
+                hyperplane_bucket(char_embedding(F.col("m.norm_key")), planes)
+                == hyperplane_bucket(char_embedding(F.col("e.e_norm_key")), planes)
+            )
         cos = F.round(cosine_of_keys(F.col("m.norm_key"), F.col("e.e_norm_key")), 6)
         cand = (
-            unresolved_4.join(ents, F.col("m.type_key") == F.col("e.e_type_key"))
+            unresolved_4.join(ents, cand_cond)
             .withColumn("_cos", cos)
             .filter(F.col("_cos") >= CANDIDATE_COSINE)
             # Cache, not localCheckpoint: both the auto branch and the

@@ -423,18 +423,39 @@ def _char_emb_sql(expr: str) -> str:
 
 
 def q_linking_ladder(
-    auto_accept: float = 0.95, cand_floor: float = 0.7, bake_accept: float = 0.8
+    auto_accept: float = 0.95,
+    cand_floor: float = 0.7,
+    bake_accept: float = 0.8,
+    bucket_planes: int | None = 4,
 ) -> str:
     """Full escalation-ladder oracle (mirror of linking.resolve_against_entities
     with vector_tier=True): per-level counters over a probe set of word-reversed
     canonical entity names — EXACT catches single-word names, the VECTOR tier
     (letter-count cosine) catches the reordered multi-word names that every
     string tier misses, ambiguity falls through to the BAKEOFF argmax rule.
+
+    ``bucket_planes`` mirrors the Spark side's (type, hyperplane-bucket)
+    candidate blocking: sign bits of the embedding against the same seeded
+    literal planes, dot folded left-to-right like Spark's aggregate.
     """
     nk_span = duckdb_norm_key_sql("span")
     nk_name = duckdb_norm_key_sql("canonical_name")
     emb_m = _char_emb_sql("u4.norm_key")
     emb_e = _char_emb_sql("r.e_norm_key")
+    bucket_cond = ""
+    if bucket_planes:
+        from dice_spark.operators.dedup import hyperplane_planes
+
+        planes = hyperplane_planes(26, bucket_planes, seed=42)
+
+        def bucket_sql(col: str) -> str:
+            parts = []
+            for p in planes:
+                dot = " + ".join(f"{col}[{i + 1}] * {p[i]!r}" for i in range(26))
+                parts.append(f"(CASE WHEN ({dot}) >= 0 THEN '1' ELSE '0' END)")
+            return " || ".join(parts)
+
+        bucket_cond = f"\n     AND ({bucket_sql('u4e.m_emb')}) = ({bucket_sql('r.e_emb')})"
     return base_ctes() + canonicalization_ctes() + f""",
 ents_m AS MATERIALIZED (SELECT * FROM entities),
 probe AS MATERIALIZED (
@@ -500,11 +521,13 @@ fuzzy_r AS (
   GROUP BY 1, 2 HAVING count(DISTINCT r.entity_id) = 1
 ),
 u4 AS (SELECT u3.* FROM u3 ANTI JOIN fuzzy_r USING (span, type_key)),
+u4e AS MATERIALIZED (SELECT u4.*, {emb_m} AS m_emb FROM u4),
+rege AS MATERIALIZED (SELECT r.*, {emb_e} AS e_emb FROM reg r),
 vec_cand AS (
   SELECT * FROM (
-    SELECT u4.span, u4.type_key, r.entity_id,
-           round(list_cosine_similarity({emb_m}, {emb_e}), 6) AS cos
-    FROM u4 JOIN reg r ON u4.type_key = r.e_type_key
+    SELECT u4e.span, u4e.type_key, r.entity_id,
+           round(list_cosine_similarity(u4e.m_emb, r.e_emb), 6) AS cos
+    FROM u4e JOIN rege r ON u4e.type_key = r.e_type_key{bucket_cond}
   ) WHERE cos >= {cand_floor}
 ),
 auto_r AS (

@@ -54,3 +54,29 @@ def test_resolution_counters(spark):
     resolved = resolve_against_entities(_mentions(spark), _entities(spark))
     counts = {r["resolution_level"]: r["n"] for r in resolution_counters(resolved).collect()}
     assert counts == {"EXACT": 1, "NORMALIZED": 1, "PARTIAL": 1, "FUZZY": 1, "NO_MATCH": 3}
+
+
+def test_vector_tier_bucketed_join_resolves_word_reversal(spark):
+    """The (type, hyperplane-bucket) blocked vector tier still catches word
+    reorderings — permuted names have identical letter-count embeddings,
+    hence identical sign buckets — and the plan stays an equi-join (no
+    cartesian / broadcast-nested-loop fallback)."""
+    from dice_spark.operators.linking import resolve_against_entities
+
+    m = spark.createDataFrame(
+        [("Nguyen Alice", "Person"), ("Marta Diaz", "Person")],
+        "span string, entity_type string",
+    )
+    e = spark.createDataFrame(
+        [("e1", "Alice Nguyen", "Person"), ("e2", "Diaz Marta", "Person")],
+        "entity_id string, canonical_name string, entity_type string",
+    )
+    out = resolve_against_entities(m, e, vector_tier=True)
+    got = {r.span: (r.resolution_level, r.resolved_id) for r in out.collect()}
+    assert got == {
+        "Nguyen Alice": ("VECTOR", "e1"),
+        "Marta Diaz": ("VECTOR", "e2"),
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
