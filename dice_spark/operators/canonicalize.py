@@ -236,13 +236,36 @@ def canonical_entities(nodes: DataFrame, components: DataFrame) -> DataFrame:
     )
 
 
-def canonicalize_mentions(mentions: DataFrame, context_id: str, span_col: str = "span", type_col: str = "entity_type") -> tuple[DataFrame, DataFrame]:
+def canonicalize_mentions(
+    mentions: DataFrame,
+    context_id: str,
+    span_col: str = "span",
+    type_col: str = "entity_type",
+    schema: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
     """Full canonicalization: mentions -> (entities, mention->entity mapping).
 
     nodes is materialized once (it is the distinct surface-form vocabulary —
     tiny relative to mentions) because edge generation, the CC loop, entity
     aggregation, and the mapping all re-read it.
+
+    ``schema``: optional (entity_type, creation_permitted) table — the
+    creation-veto rule (EscalatingEntityResolver.kt:224-237). Mentions of a
+    closed type (creation_permitted=false) never mint nodes: they are
+    excluded before node aggregation, so they appear in neither the entities
+    table nor the mapping (downstream resolution joins leave them NULL —
+    the set-oriented VetoedEntity). Types absent from the schema default to
+    creation permitted. The schema is a tiny broadcast.
     """
+    if schema is not None:
+        closed = F.broadcast(
+            schema.filter(F.col("creation_permitted") == False).select(  # noqa: E712
+                F.lower("entity_type").alias("_closed_type")
+            )
+        )
+        mentions = mentions.join(
+            closed, F.lower(F.col(type_col)) == F.col("_closed_type"), "left_anti"
+        )
     nodes = mention_nodes(mentions, context_id, span_col, type_col).localCheckpoint(eager=True)
     # Size the CC loop's shuffle width to the actual vocabulary (the count is
     # one cheap action on the eager checkpoint): ~100k nodes per partition.

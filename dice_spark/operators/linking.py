@@ -35,7 +35,7 @@ from pyspark.sql.window import Window
 
 from dice_spark.functions.normalize import norm_key, normalize_name
 
-LEVELS = ["EXACT", "NORMALIZED", "PARTIAL", "FUZZY", "VECTOR", "BAKEOFF"]
+LEVELS = ["EXACT", "NORMALIZED", "PARTIAL", "FUZZY", "VECTOR", "BAKEOFF", "VETOED"]
 MIN_PART_LENGTH = 4
 MIN_FUZZY_LENGTH = 4
 MAX_DISTANCE_RATIO = 0.2
@@ -138,6 +138,7 @@ def resolve_against_entities(
     vector_tier: bool = False,
     bakeoff_scorer=None,
     vector_bucket_planes: int | None = 4,
+    schema: DataFrame | None = None,
 ) -> DataFrame:
     """Resolve mention surface forms against an existing entity registry.
 
@@ -321,9 +322,38 @@ def resolve_against_entities(
         # avoids the AQE zip-partition trap that a lazy one would re-open.
         resolved = resolved.unionByName(best).localCheckpoint(eager=True)
         cand.unpersist()
-    return m.join(resolved, ["span", "type_key"], "left").withColumn(
-        "resolution_level", F.coalesce("resolution_level", F.lit("NO_MATCH"))
-    ).withColumnRenamed("entity_id", "resolved_id")
+    out = (
+        m.join(resolved, ["span", "type_key"], "left")
+        .withColumn(
+            "resolution_level", F.coalesce("resolution_level", F.lit("NO_MATCH"))
+        )
+        .withColumnRenamed("entity_id", "resolved_id")
+    )
+    if schema is not None:
+        # Creation veto (EscalatingEntityResolver.createNewOrVeto,
+        # EscalatingEntityResolver.kt:224-237): when every tier fails and the
+        # schema declares the mention's type closed (creationPermitted=false),
+        # the mention is VETOED — no entity may be minted for it. A type
+        # absent from the schema defaults to creation permitted. The schema
+        # is a tiny broadcast, zero shuffle.
+        closed = F.broadcast(
+            schema.select(
+                F.lower("entity_type").alias("type_key"),
+                F.col("creation_permitted").alias("_cp"),
+            )
+        )
+        out = (
+            out.join(closed, "type_key", "left")
+            .withColumn(
+                "resolution_level",
+                F.when(
+                    (F.col("resolution_level") == "NO_MATCH") & (F.col("_cp") == False),  # noqa: E712
+                    F.lit("VETOED"),
+                ).otherwise(F.col("resolution_level")),
+            )
+            .drop("_cp")
+        )
+    return out
 
 
 def known_entity_fast_path(

@@ -47,6 +47,7 @@ def run_pipeline(
     spill_dir: str | None = None,
     existing_props: DataFrame | None = None,
     existing_edges: DataFrame | None = None,
+    schema: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """spill_dir: when set, shared intermediates (extraction output) are
     materialized as parquet under this path instead of a deserialized
@@ -74,6 +75,7 @@ def run_pipeline(
         spill_dir=spill_dir,
         existing_props=existing_props,
         existing_edges=existing_edges,
+        schema=schema,
     )
 
 
@@ -88,6 +90,7 @@ def process_chunks(
     spill_dir: str | None = None,
     existing_props: DataFrame | None = None,
     existing_edges: DataFrame | None = None,
+    schema: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Assembled chunks -> the full downstream stage graph.
 
@@ -136,7 +139,11 @@ def process_chunks(
     from dice_spark.operators.mention_filter import filter_mentions
 
     mentions, rejected_mentions = filter_mentions(mentions)
-    entities, mapping = canonicalize_mentions(mentions, context_id)
+    # schema: optional (entity_type, creation_permitted) — closed types are
+    # vetoed from entity minting (EscalatingEntityResolver.kt:224-237);
+    # their propositions keep NULL subj/obj ids and the projection gate
+    # drops those edges downstream.
+    entities, mapping = canonicalize_mentions(mentions, context_id, schema=schema)
 
     props = triples_to_propositions(triples, context_id)
     # Provenance stamp (PropositionPipeline.stampProvenance): every

@@ -71,3 +71,20 @@ def test_fuzzy_and_partial_edges(spark):
     n = entities.count()
     # kj merges, b merges, Mark/Marx stay apart (len 4 -> max distance 0)
     assert n == 4
+
+
+def test_canonicalize_schema_veto_excludes_closed_types(spark):
+    """Mentions of a closed type never mint nodes: absent from the entities
+    table AND the mapping (the set-oriented VetoedEntity)."""
+    from dice_spark.operators.canonicalize import canonicalize_mentions
+
+    mentions = spark.createDataFrame(
+        [("Alice Nguyen", "Person"), ("Budget Memo", "Document")],
+        "span string, entity_type string",
+    )
+    schema = spark.createDataFrame(
+        [("Document", False)], "entity_type string, creation_permitted boolean"
+    )
+    entities, mapping = canonicalize_mentions(mentions, "c1", schema=schema)
+    assert {r.entity_type for r in entities.collect()} == {"Person"}
+    assert {r.type_key for r in mapping.collect()} == {"person"}

@@ -80,3 +80,37 @@ def test_vector_tier_bucketed_join_resolves_word_reversal(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_creation_veto_on_closed_types(spark):
+    """NO_MATCH on a closed type (creation_permitted=false) -> VETOED, no
+    entity may be minted; open and unlisted types keep NO_MATCH
+    (EscalatingEntityResolver.createNewOrVeto, :224-237)."""
+    from dice_spark.operators.linking import resolve_against_entities
+
+    m = spark.createDataFrame(
+        [
+            ("Alice Nguyen", "Person"),     # resolves EXACT
+            ("Zorblatt Vex", "Person"),     # open type -> NO_MATCH
+            ("Quarterly Report", "Document"),  # closed type -> VETOED
+            ("Acme Corp", "Org"),           # unlisted type -> NO_MATCH
+        ],
+        "span string, entity_type string",
+    )
+    e = spark.createDataFrame(
+        [("e1", "Alice Nguyen", "Person")],
+        "entity_id string, canonical_name string, entity_type string",
+    )
+    schema = spark.createDataFrame(
+        [("Person", True), ("Document", False)],
+        "entity_type string, creation_permitted boolean",
+    )
+    out = resolve_against_entities(m, e, schema=schema)
+    got = {r.span: r.resolution_level for r in out.collect()}
+    assert got == {
+        "Alice Nguyen": "EXACT",
+        "Zorblatt Vex": "NO_MATCH",
+        "Quarterly Report": "VETOED",
+        "Acme Corp": "NO_MATCH",
+    }
+    assert {r.resolved_id for r in out.collect() if r.resolution_level == "VETOED"} == {None}
