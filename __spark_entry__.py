@@ -215,6 +215,45 @@ def q_decay_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temporal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """effectiveConfidenceAt temporal branches with NON-NULL windows
+    (Proposition.kt:326-344 / TemporalMetadata.kt:70-75): the pipeline's
+    deterministic temporal stand-in dates 'founded' propositions with a
+    CLOSED window (never decays while current, 0 outside it) and
+    'is employed by' with an OPEN window (decays from valid_from); everything
+    else decays from content_revised. A deterministic md5-prefix subset of
+    dated props is explicitly retracted query-side (the pipeline never writes
+    invalidated_at — retraction is a store-side act), exercising the
+    invalidated->0 branch."""
+    from dice_spark.functions.decay import effective_confidence
+    from dice_spark.operators.extraction import TEMPORAL_BASE_EPOCH
+
+    props = triples_to_propositions(_triples(spark, sf_dir), CTX)
+    inv = F.when(
+        F.col("valid_from").isNotNull() & (F.substring("prop_id", 1, 1) == "0"),
+        F.timestamp_seconds(F.lit(TEMPORAL_BASE_EPOCH)),
+    )
+    props = props.withColumn("invalidated_at", inv).withColumn(
+        "content_revised", F.to_timestamp(F.lit("2026-06-01 00:00:00"))
+    )
+    as_of = F.to_timestamp(F.lit("2026-08-17 00:00:00"))
+    eff = F.round(effective_confidence(as_of=as_of), 6)
+    branch = (
+        F.when(F.col("invalidated_at").isNotNull(), "INVALIDATED")
+        .when(F.col("valid_from").isNotNull() & F.col("valid_to").isNotNull(), "DATED_CLOSED")
+        .when(F.col("valid_from").isNotNull(), "DATED_OPEN")
+        .otherwise("DECAYING")
+    )
+    return props.select(
+        "prop_id",
+        "predicate",
+        F.col("valid_from").cast("long").alias("valid_from_epoch"),
+        F.col("valid_to").cast("long").alias("valid_to_epoch"),
+        eff.alias("eff_conf"),
+        branch.alias("branch"),
+    )
+
+
 def q_prop_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PropositionQuery surface: 6 filters + EFFECTIVE_CONFIDENCE_DESC + limit
     (PropositionQuery.kt:46-99 / PropositionStore.matchesFilters:55-84)."""
@@ -626,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_hop_links": q_two_hop,
         "decay_sweep": q_decay_sweep,
         "prop_query": q_prop_query,
+        "temporal_query": q_temporal_query,
         "prop_dup_clusters": q_prop_dup_clusters,
         "memory_consolidation": q_memory_consolidation,
         "linking_ladder": q_linking_ladder,
@@ -659,6 +699,7 @@ def oracle_sql() -> dict[str, str]:
         "two_hop_links": oracle.q_two_hop(),
         "decay_sweep": oracle.q_decay_sweep(),
         "prop_query": oracle.q_prop_query(),
+        "temporal_query": oracle.q_temporal_query(),
         "prop_dup_clusters": oracle.q_prop_dup_clusters(use_lsh=True),
         "memory_consolidation": oracle.q_memory_consolidation(use_lsh=True),
         "linking_ladder": oracle.q_linking_ladder(),

@@ -52,7 +52,10 @@ def effective_confidence(
     def factor(anchor: Column) -> Column:
         return F.exp(-dec * F.lit(k) * _age_days(anchor, as_of))
 
-    is_current = (vf <= as_of) & (vt.isNull() | (as_of <= vt))
+    # isCurrentAsOf (TemporalMetadata.kt:70-75): validFrom <= at AND
+    # at < validTo (STRICT — "!at.isBefore(validTo)" fails currency at the
+    # exact validTo instant).
+    is_current = (vf <= as_of) & (vt.isNull() | (as_of < vt))
     return (
         F.when(inv.isNotNull() & (inv <= as_of), F.lit(0.0))
         .when(vf.isNotNull() & ~is_current, F.lit(0.0))

@@ -36,6 +36,44 @@ from dice_spark.synth import ORGS, PROJECTS, RELATIONS
 # Cap on per-proposition grounding/source id lists (rank-before-collect).
 MAX_GROUNDING = 100
 
+# Temporal-metadata stand-in anchor: 2026-01-01T00:00:00Z (epoch seconds).
+TEMPORAL_BASE_EPOCH = 1_767_225_600
+
+
+def temporal_metadata_exprs(sentence, predicate) -> dict[str, "F.Column"]:
+    """Deterministic temporal-extraction stand-in (TemporalMetadata.kt:46-53).
+
+    The reference attaches TemporalMetadata only when the extractor knows it
+    — every field optional, most facts carry none. The LLM seam would emit
+    these; the deterministic rule is schema-guided by predicate:
+
+    * ``founded``        -> DATED with a CLOSED window (a completed
+      historical fact): valid_from = base + (h % 365) days,
+      valid_to = valid_from + (30 + h % 300) days. Closed windows never
+      decay (Proposition.kt:336-338).
+    * ``is employed by`` -> DATED OPEN ("since X, still?"): valid_from only;
+      decays from valid_from.
+    * anything else      -> no temporal metadata (nulls; decays from the
+      content_revised anchor).
+
+    h = first 6 md5 hex chars of the sentence — portable to DuckDB
+    (('0x' || substr(md5(text),1,6))::bigint), so the oracle recomputes the
+    exact instants. invalidated_at is NEVER set here: only an explicit
+    retraction writes it (TemporalMetadata.kt:36-38).
+    """
+    s = F.col(sentence) if isinstance(sentence, str) else sentence
+    p = F.col(predicate) if isinstance(predicate, str) else predicate
+    h = F.conv(F.substring(F.md5(s), 1, 6), 16, 10).cast("long")
+    vf_epoch = F.lit(TEMPORAL_BASE_EPOCH) + (h % 365) * 86400
+    vt_epoch = vf_epoch + (30 + h % 300) * 86400
+    dated = p.isin("founded", "is employed by")
+    closed = p == F.lit("founded")
+    return {
+        "valid_from": F.when(dated, F.timestamp_seconds(vf_epoch)),
+        "valid_to": F.when(closed, F.timestamp_seconds(vt_epoch)),
+        "invalidated_at": F.lit(None).cast("timestamp"),
+    }
+
 # Output schema of both extractors (one row per extracted triple candidate).
 TRIPLES_SCHEMA = (
     "chunk_id string, conv_id string, turn_idx int, sentence string, "
@@ -270,6 +308,7 @@ def triples_to_propositions(triples: DataFrame, context_id: str) -> DataFrame:
         F.col("base_confidence") * (F.lit(1.0) + F.lit(0.3) * (n - 1)), F.lit(0.99)
     )
     dec = F.col("base_decay") * F.pow(F.lit(0.7), n - 1)
+    temporal = temporal_metadata_exprs("sentence", "predicate")
     return base.select(
         F.md5(F.concat_ws("|", ctx, F.col("sentence"))).alias("prop_id"),
         ctx.alias("context_id"),
@@ -287,4 +326,7 @@ def triples_to_propositions(triples: DataFrame, context_id: str) -> DataFrame:
         F.lit("ACTIVE").alias("status"),
         F.lit(0).alias("level"),
         F.lit(False).alias("pinned"),
+        temporal["valid_from"].alias("valid_from"),
+        temporal["valid_to"].alias("valid_to"),
+        temporal["invalidated_at"].alias("invalidated_at"),
     )

@@ -10,10 +10,17 @@ truncate to topK.
 
 The stand-in text-similarity search is the letter-count-cosine embedding used
 by the linking vector tier (linking.char_embedding) — a real embedding column
-plugs in by replacing ``_text_similarity``. Capability flags mirror the
-store-interface checks (supports(VECTOR) == store is VectorSearchCapable):
-here a store DataFrame is always "capable" of each mode, but the flags stay in
-the result contract so callers can branch identically.
+plugs in by replacing ``_text_similarity``.
+
+Capability contract (RetrievalRouter.kt:113-117,140-144,191 /
+RetrievalMode.kt:22-24): ``capabilities`` declares which store fragments are
+present — "VECTOR" (VectorSearchCapable) and "TEMPORAL"
+(TemporalQueryCapable). A mode whose backing fragment is absent returns a
+typed-empty result with ``supported=False`` and NEVER falls back to a scan;
+ENTITY / GRAPH_WALK need no fragment and are always supported; HYBRID runs
+its graph tier regardless but reports ``supported = ("VECTOR" in
+capabilities)``, exactly the reference's ``store as? VectorSearchCapable``
+outcome. ``capabilities=None`` means a fully-capable store.
 """
 
 from __future__ import annotations
@@ -87,26 +94,36 @@ def _graph_walk(
     return props.join(hit, "prop_id", "left_semi")
 
 
+CAPABILITIES = frozenset({"VECTOR", "TEMPORAL"})
+
+
 def retrieve(
     props: DataFrame,
     query: DiscoveryQuery,
     context_id: str,
     prop_entities: DataFrame | None = None,
     edges: DataFrame | None = None,
+    capabilities: frozenset[str] | set[str] | None = None,
 ) -> dict:
     """Route one DiscoveryQuery. Returns {mode, supported, propositions: DataFrame}.
 
     props: the proposition store (prop_id, context_id, text, created*, ...);
     prop_entities: (prop_id, resolved_id) for ENTITY/GRAPH_WALK/HYBRID;
-    edges: the KG edge table for GRAPH_WALK/HYBRID.
+    edges: the KG edge table for GRAPH_WALK/HYBRID;
+    capabilities: present store fragments (subset of {"VECTOR", "TEMPORAL"});
+    None = fully capable. An unsupported requested mode returns
+    ``supported: False`` with an empty relation — never a fallback scan.
     """
     if query.mode not in MODES:
         raise ValueError(f"unknown retrieval mode {query.mode!r}; one of {MODES}")
+    caps = CAPABILITIES if capabilities is None else frozenset(capabilities)
     top_k, depth, threshold = _clamp(query)
     scoped = _scope(props, context_id)
     empty = scoped.limit(0)
 
     if query.mode == "VECTOR":
+        if "VECTOR" not in caps:
+            return {"mode": query.mode, "supported": False, "propositions": empty}
         if not query.text:
             return {"mode": query.mode, "supported": True, "propositions": empty}
         out = (
@@ -129,6 +146,8 @@ def retrieve(
         return {"mode": query.mode, "supported": True, "propositions": out}
 
     if query.mode == "TEMPORAL":
+        if "TEMPORAL" not in caps:
+            return {"mode": query.mode, "supported": False, "propositions": empty}
         if query.from_ts is None or query.to_ts is None or "created" not in scoped.columns:
             return {"mode": query.mode, "supported": True, "propositions": empty}
         out = scoped.filter(
@@ -137,10 +156,12 @@ def retrieve(
         ).limit(top_k)
         return {"mode": query.mode, "supported": True, "propositions": out}
 
-    # HYBRID: vector tier 0 keeps its score; graph-only tier 1, sentinel score.
+    # HYBRID: vector tier 0 keeps its score; graph-only tier 1, sentinel
+    # score. A vector-incapable store still runs the graph tier, but the
+    # result reports supported=False (RetrievalRouter.kt:191).
     vector_hits = (
         _text_similarity(scoped, query.text, threshold).withColumn("tier", F.lit(0))
-        if query.text
+        if query.text and "VECTOR" in caps
         else empty.withColumn("score", F.lit(0.0)).withColumn("tier", F.lit(0))
     )
     if query.entity_id and prop_entities is not None and edges is not None:
@@ -154,4 +175,4 @@ def retrieve(
     else:
         merged = vector_hits
     out = merged.orderBy(F.asc("tier"), F.desc("score"), F.asc("prop_id")).limit(top_k)
-    return {"mode": query.mode, "supported": True, "propositions": out}
+    return {"mode": query.mode, "supported": "VECTOR" in caps, "propositions": out}

@@ -19,6 +19,7 @@ from dice_spark.functions.textfns import (
     duckdb_canonicalize_text_sql,
 )
 from dice_spark.operators.assembly import OVERLAP_SIZE, WINDOW_SIZE
+from dice_spark.operators.extraction import TEMPORAL_BASE_EPOCH
 from dice_spark.operators.projection import DEFAULT_MIN_CONFIDENCE
 from dice_spark.synth import ORGS, relations_cte, transcripts_cte
 
@@ -92,6 +93,10 @@ typed_triples AS (
   FROM triples t
 ),
 propositions AS (
+  -- valid_from/valid_to mirror extraction.temporal_metadata_exprs: the
+  -- deterministic temporal-extraction stand-in ('founded' -> dated CLOSED
+  -- window, 'is employed by' -> dated OPEN, else null; h = first 6 md5 hex
+  -- chars of the sentence). invalidated_at is never set at extraction.
   SELECT md5('{CTX}' || '|' || sentence) AS prop_id,
          '{CTX}' AS context_id,
          sentence AS text,
@@ -102,7 +107,17 @@ propositions AS (
          min(obj_type) AS obj_type,
          round(least(min(confidence) * (1 + 0.3 * (count(*) - 1)), 0.99), 6) AS confidence,
          round(min(decay) * pow(0.7, count(*) - 1), 6) AS decay,
-         count(*) - 1 AS reinforce_count
+         count(*) - 1 AS reinforce_count,
+         CASE WHEN min(predicate) IN ('founded', 'is employed by')
+              THEN to_timestamp({TEMPORAL_BASE_EPOCH}
+                   + (('0x' || substr(md5(sentence), 1, 6))::bigint % 365) * 86400)
+         END AS valid_from,
+         CASE WHEN min(predicate) = 'founded'
+              THEN to_timestamp({TEMPORAL_BASE_EPOCH}
+                   + (('0x' || substr(md5(sentence), 1, 6))::bigint % 365) * 86400
+                   + (30 + ('0x' || substr(md5(sentence), 1, 6))::bigint % 300) * 86400)
+         END AS valid_to,
+         CAST(NULL AS TIMESTAMP) AS invalidated_at
   FROM typed_triples GROUP BY sentence
 )
 """
@@ -338,6 +353,55 @@ FROM indirect GROUP BY source, target
 """
 
 
+def q_temporal_query(
+    as_of_epoch: int = 1786924800,  # 2026-08-17T00:00:00Z
+    content_revised_epoch: int = 1780272000,  # 2026-06-01T00:00:00Z
+) -> str:
+    """Temporal-branch effectiveConfidence oracle (mirror of
+    __spark_entry__.q_temporal_query over the propositions CTE's
+    deterministic temporal stand-in): invalidated -> 0; dated CLOSED and
+    current -> confidence (never decays); dated, not current -> 0; dated
+    OPEN -> decays from valid_from; else decays from content_revised.
+    All instants handled as integral epochs (engine-portable)."""
+    inv = (
+        "CASE WHEN valid_from IS NOT NULL AND substr(prop_id, 1, 1) = '0' "
+        f"THEN {TEMPORAL_BASE_EPOCH} END"
+    )
+    vf, vt = "floor(epoch(valid_from))", "floor(epoch(valid_to))"
+
+    def decay_from(anchor: str) -> str:
+        return (
+            f"round(confidence * exp(-decay * 2.0 * "
+            f"greatest(floor(({as_of_epoch} - {anchor}) / 86400), 0)), 6)"
+        )
+
+    return base_ctes() + f""",
+tq AS (
+  SELECT prop_id, predicate, confidence, decay,
+         {vf} AS vf, {vt} AS vt, ({inv}) AS inv
+  FROM propositions
+)
+SELECT prop_id, predicate,
+       CAST(vf AS BIGINT) AS valid_from_epoch,
+       CAST(vt AS BIGINT) AS valid_to_epoch,
+       CASE
+         WHEN inv IS NOT NULL AND inv <= {as_of_epoch} THEN 0.0
+         WHEN vf IS NOT NULL AND NOT (vf <= {as_of_epoch}
+              AND (vt IS NULL OR {as_of_epoch} < vt)) THEN 0.0
+         WHEN vf IS NOT NULL AND vt IS NOT NULL THEN confidence
+         WHEN vf IS NOT NULL THEN {decay_from("vf")}
+         ELSE {decay_from(str(content_revised_epoch))}
+       END AS eff_conf,
+       CASE
+         WHEN inv IS NOT NULL THEN 'INVALIDATED'
+         WHEN vf IS NOT NULL AND vt IS NOT NULL THEN 'DATED_CLOSED'
+         WHEN vf IS NOT NULL THEN 'DATED_OPEN'
+         ELSE 'DECAYING'
+       END AS branch
+FROM tq
+"""
+
+
 def q_decay_sweep(as_of: str = "2024-12-31 00:00:00") -> str:
     """Effective confidence + hysteresis status over per-turn facts.
 
@@ -390,11 +454,24 @@ times AS (
 ),
 proj_ents AS (SELECT entity_id FROM entities WHERE canonical_name LIKE 'Project %'),
 eff AS (
+  -- Full effectiveConfidenceAt branches (Proposition.kt:326-344): the store
+  -- now carries the temporal stand-in columns, so dated propositions route
+  -- through the valid-window branches (at this as_of, before every
+  -- valid_from, dated facts are not yet current -> 0).
   SELECT rp.prop_id, rp.text, rp.reinforce_count, ti.created, ti.last_touched,
          rp.subj_id, rp.obj_id,
-         round(rp.confidence * exp(-rp.decay * 2.0 *
-           greatest(floor((epoch(timestamp '{as_of}') - epoch(ti.last_touched)) / 86400), 0)), 6)
-           AS eff_conf
+         round(CASE
+           WHEN rp.valid_from IS NOT NULL AND NOT (
+                  floor(epoch(rp.valid_from)) <= floor(epoch(timestamp '{as_of}'))
+                  AND (rp.valid_to IS NULL
+                       OR floor(epoch(timestamp '{as_of}')) < floor(epoch(rp.valid_to)))
+                ) THEN 0.0
+           WHEN rp.valid_from IS NOT NULL AND rp.valid_to IS NOT NULL THEN rp.confidence
+           WHEN rp.valid_from IS NOT NULL THEN rp.confidence * exp(-rp.decay * 2.0 *
+             greatest(floor((epoch(timestamp '{as_of}') - epoch(rp.valid_from)) / 86400), 0))
+           ELSE rp.confidence * exp(-rp.decay * 2.0 *
+             greatest(floor((epoch(timestamp '{as_of}') - epoch(ti.last_touched)) / 86400), 0))
+         END, 6) AS eff_conf
   FROM resolved_props rp JOIN times ti ON ti.sentence = rp.text
 ),
 filtered AS (

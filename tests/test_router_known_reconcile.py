@@ -188,3 +188,51 @@ def test_sweep_collector_run_header(spark):
     hdr = collector_run_header(records, "r1", dry_run=False, as_of=as_of).collect()[0]
     assert hdr["run_id"] == "r1" and hdr["n_records"] == 1
     assert hdr["n_swept"] == 1 and hdr["n_marked"] == 0
+
+
+def test_capability_contract_all_modes(store, pe, edges):
+    """RetrievalRouter.kt capability fragments: an absent fragment yields a
+    typed-empty result with supported=False, never a fallback scan; ENTITY /
+    GRAPH_WALK need no fragment; HYBRID still runs its graph tier but reports
+    supported = vector-capable."""
+    full = {"VECTOR", "TEMPORAL"}
+    none: set[str] = set()
+
+    for caps in (full, {"VECTOR"}, {"TEMPORAL"}, none):
+        # VECTOR gated on the VECTOR fragment.
+        res = retrieve(
+            store, DiscoveryQuery(mode="VECTOR", text="alice works with bob"),
+            "c1", capabilities=caps,
+        )
+        assert res["supported"] == ("VECTOR" in caps)
+        if "VECTOR" not in caps:
+            assert res["propositions"].count() == 0
+
+        # TEMPORAL gated on the TEMPORAL fragment.
+        res = retrieve(
+            store,
+            DiscoveryQuery(mode="TEMPORAL", from_ts="2024-01-15 00:00:00", to_ts="2024-02-15 00:00:00"),
+            "c1", capabilities=caps,
+        )
+        assert res["supported"] == ("TEMPORAL" in caps)
+        if "TEMPORAL" not in caps:
+            assert res["propositions"].count() == 0
+
+        # ENTITY / GRAPH_WALK always supported.
+        res = retrieve(store, DiscoveryQuery(mode="ENTITY", entity_id="e3"), "c1", pe, capabilities=caps)
+        assert res["supported"] is True and ids(res) == ["p2"]
+        res = retrieve(store, DiscoveryQuery(mode="GRAPH_WALK", entity_id="e1", depth=2), "c1", pe, edges, capabilities=caps)
+        assert res["supported"] is True
+
+        # HYBRID: graph tier regardless, supported = vector-capable.
+        res = retrieve(
+            store,
+            DiscoveryQuery(mode="HYBRID", text="alice works with bob", entity_id="e1", depth=2),
+            "c1", pe, edges, capabilities=caps,
+        )
+        assert res["supported"] == ("VECTOR" in caps)
+        got = ids(res)
+        assert len(got) > 0  # graph tier still returns results
+        if "VECTOR" not in caps:
+            rows = res["propositions"].collect()
+            assert {r["tier"] for r in rows} == {1}
