@@ -98,6 +98,19 @@ def q_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extraction_perspective(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USER-perspective extraction: role scope applied before the Arrow seam
+    (ExtractionPerspective.USER, LlmPropositionExtractor.kt:46-56)."""
+    turns = split_turns(assemble_windows(_transcripts(spark, sf_dir)))
+    t = extract_triples_udf(turns, perspective="USER")
+    return t.select(
+        "chunk_id", "conv_id", "turn_idx", "sentence", "predicate", "priority",
+        "subj_span", "obj_span", "subj_type", "obj_type",
+        F.round("confidence", 6).alias("confidence"),
+        F.round("decay", 6).alias("decay"),
+    )
+
+
 def q_propositions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dice_spark.operators.provenance import with_provenance_metadata
 
@@ -657,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "turn_assembly": q_turn_assembly,
         "extraction": q_extraction,
+        "extraction_perspective": q_extraction_perspective,
         "propositions": q_propositions,
         "entities": q_entities,
         "kg_edges": q_kg_edges,
@@ -691,6 +705,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "turn_assembly": oracle.q_turn_assembly(),
         "extraction": oracle.q_extraction(),
+        "extraction_perspective": oracle.q_extraction_perspective(),
         "propositions": oracle.q_propositions(),
         "entities": oracle.q_entities(),
         "kg_edges": oracle.q_edges(),

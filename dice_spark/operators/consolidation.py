@@ -43,15 +43,39 @@ def abstraction_pass(
     threshold: int = ABSTRACTION_THRESHOLD,
     target_count: int = ABSTRACTION_TARGET_COUNT,
     max_level: int = MAX_LEVEL,
+    source_level: int = 0,
 ) -> DataFrame:
     """One abstraction cycle -> props + ``consolidation_outcome`` column
     (ABSTRACTED new rows | SUPERSEDED retired sources | UNCHANGED).
 
     props: proposition rows with (prop_id, context_id, text, confidence,
     decay, pinned, status, level, source_ids array). prop_entities:
-    (prop_id, resolved_id).
+    (prop_id, resolved_id) — must cover ``source_level`` propositions (for
+    level > 0 that means abstraction rows' group entities; see
+    ``abstraction_cycles`` which threads them automatically).
+
+    ``source_level`` selects which stratum groups (default 0, the
+    reference pass's snapshot filter); the minted abstractions carry
+    ``source_level + 1`` — the abstractor contract ``level = max(source
+    levels) + 1`` (PropositionAbstractor.kt:40). When that would exceed
+    ``max_level``, the group is skipped and its sources stay ACTIVE
+    (AbstractionPass.kt:86-94 — never retire sources with nothing to
+    replace them), so the pass is a no-op.
     """
-    level0 = props.filter((F.col("status") == "ACTIVE") & (F.col("level") == 0))
+    new_level = source_level + 1
+    if new_level > max_level:
+        base_cols = [
+            "prop_id", "context_id", "text", "confidence", "decay", "pinned",
+            "status", "level", "source_ids",
+        ]
+        return (
+            props.select(*base_cols)
+            .withColumn("entity_id", F.lit(None).cast("string"))
+            .withColumn("consolidation_outcome", F.lit("UNCHANGED"))
+        )
+    level0 = props.filter(
+        (F.col("status") == "ACTIVE") & (F.col("level") == source_level)
+    )
     member = (
         prop_entities.filter(F.col("resolved_id").isNotNull())
         .join(level0.select("prop_id"), "prop_id", "left_semi")
@@ -85,9 +109,6 @@ def abstraction_pass(
     detail = eligible.join(
         level0.select("prop_id", "text", "confidence", "decay"), "prop_id"
     )
-    new_level = 1
-    if new_level > max_level:
-        raise ValueError("abstraction level exceeds max_level")
     abstractions = (
         detail.groupBy("resolved_id")
         .agg(
@@ -150,6 +171,51 @@ def abstraction_pass(
         .withColumn("consolidation_outcome", F.lit("UNCHANGED"))
     )
     return abstractions.unionByName(superseded).unionByName(unchanged)
+
+
+def abstraction_cycles(
+    props: DataFrame,
+    prop_entities: DataFrame,
+    context_id: str,
+    threshold: int = ABSTRACTION_THRESHOLD,
+    target_count: int = ABSTRACTION_TARGET_COUNT,
+    max_level: int = MAX_LEVEL,
+) -> dict[str, DataFrame]:
+    """Repeated abstraction cycles up to ``max_level`` — the reference reaches
+    levels > 1 by re-running the pass over snapshots where prior abstractions
+    are themselves members (AbstractionPass run per dream-loop cycle;
+    level = max(source levels) + 1 per PropositionAbstractor.kt:40).
+
+    One cycle per source level 0..max_level-1, each reading the previous
+    cycle's store; a cycle's ABSTRACTED rows join the mention relation under
+    their group entity so the next level can group them. The per-level
+    idempotency guard is abstraction_pass's own (full sourceIds coverage).
+    Returns {"store": final props, "counters": (level, consolidation_outcome,
+    n)}.
+    """
+    store = props
+    ments = prop_entities.select("prop_id", "resolved_id")
+    counters = None
+    for src_level in range(0, max_level):
+        out = abstraction_pass(
+            store, ments, context_id,
+            threshold=threshold, target_count=target_count,
+            max_level=max_level, source_level=src_level,
+        ).localCheckpoint(eager=False)  # bound plan growth across cycles
+        level_counts = (
+            out.groupBy("consolidation_outcome")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("level", F.lit(src_level + 1))
+        )
+        counters = level_counts if counters is None else counters.unionByName(level_counts)
+        ments = ments.unionByName(
+            out.filter(
+                (F.col("consolidation_outcome") == "ABSTRACTED")
+                & F.col("entity_id").isNotNull()
+            ).select("prop_id", F.col("entity_id").alias("resolved_id"))
+        )
+        store = out.drop("entity_id", "consolidation_outcome")
+    return {"store": store, "counters": counters}
 
 
 def contradiction_pass(

@@ -36,6 +36,27 @@ from dice_spark.synth import ORGS, PROJECTS, RELATIONS
 # Cap on per-proposition grounding/source id lists (rank-before-collect).
 MAX_GROUNDING = 100
 
+# ExtractionPerspective (LlmPropositionExtractor.kt:46-56): whose facts the
+# extractor keeps when the input is a user/assistant dialogue. The reference
+# states it as prompt guidance; the deterministic translation is a role scope
+# over turns — a pure column predicate, so Catalyst pushes it below the
+# sentence explode and the non-selected roles never reach the extractor.
+PERSPECTIVE_ROLES = {"ALL": None, "USER": ("user",), "AGENT": ("assistant",)}
+
+
+def scope_to_perspective(turns: DataFrame, perspective: str = "ALL") -> DataFrame:
+    """Filter turn rows to the perspective's speaker roles (ALL is identity)."""
+    try:
+        roles = PERSPECTIVE_ROLES[perspective]
+    except KeyError:
+        raise ValueError(
+            f"unknown extraction perspective {perspective!r}; "
+            f"one of {sorted(PERSPECTIVE_ROLES)}"
+        ) from None
+    if roles is None:
+        return turns
+    return turns.filter(F.lower(F.col("role")).isin(*roles))
+
 # Temporal-metadata stand-in anchor: 2026-01-01T00:00:00Z (epoch seconds).
 TEMPORAL_BASE_EPOCH = 1_767_225_600
 
@@ -119,13 +140,19 @@ def sentences_from_turns(turns: DataFrame) -> DataFrame:
     ).filter(F.length(F.trim("sentence")) > 0)
 
 
-def extract_triples(turns: DataFrame, relations: DataFrame, conf_overrides: dict | None = None) -> DataFrame:
+def extract_triples(
+    turns: DataFrame,
+    relations: DataFrame,
+    conf_overrides: dict | None = None,
+    perspective: str = "ALL",
+) -> DataFrame:
     """Pure-DataFrame extractor: sentences x broadcast(relations) substring join.
 
     ``conf_overrides`` optionally pins (confidence, decay) per exact sentence
     text (the FixedPropositionExtractor pattern used by the golden fixtures).
+    ``perspective`` scopes extraction to a speaker role (ALL/USER/AGENT).
     """
-    sents = sentences_from_turns(turns)
+    sents = sentences_from_turns(scope_to_perspective(turns, perspective))
     joined = sents.join(
         F.broadcast(relations),
         F.instr(F.lower(F.col("sentence")), F.col("predicate")) > 0,
@@ -168,13 +195,21 @@ def extract_triples(turns: DataFrame, relations: DataFrame, conf_overrides: dict
     return out
 
 
-def extract_triples_udf(turns: DataFrame, conf_overrides: dict | None = None) -> DataFrame:
+def extract_triples_udf(
+    turns: DataFrame,
+    conf_overrides: dict | None = None,
+    perspective: str = "ALL",
+) -> DataFrame:
     """Vectorized mapInPandas extractor — identical semantics to extract_triples.
 
     Per Arrow batch: explode sentences, then one vectorized regex pass per
     relation in priority order (first match wins). All pandas C-level ops.
+    The ``perspective`` role scope is applied as a column predicate BEFORE the
+    seam so the filter stays JVM-side and prunes Arrow transfer.
     """
     import pandas as pd
+
+    turns = scope_to_perspective(turns, perspective)
 
     overrides = dict(conf_overrides or {})
     relations = list(RELATIONS)

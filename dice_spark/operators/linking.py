@@ -296,16 +296,30 @@ def resolve_against_entities(
         resolved = resolved.unionByName(
             auto.select("span", "type_key", "entity_id", "resolution_level")
         )
-        # Everything else above the floor goes to the bakeoff seam.
+        # Everything else above the floor goes to the bakeoff seam. When the
+        # mentions carry a source_text column, each pair also gets a
+        # ``context`` column: the ContextCompressor output the reference
+        # computes right before its LLM resolution call
+        # (EscalatingEntityResolver.kt:183, ContextCompressor.kt) — snippets
+        # around the mention instead of the whole chunk. Compression runs on
+        # the already-small bakeoff pair set (post-blocking, post-floor), on
+        # the same Arrow seam as the scorer itself.
+        bakeoff_cols = [
+            F.col("span"),
+            F.col("type_key"),
+            F.col("m.norm_key").alias("m_key"),
+            F.col("entity_id"),
+            F.col("e.e_norm_key").alias("e_key"),
+        ]
+        if "source_text" in mentions.columns:
+            from dice_spark.functions.compress import compress_context
+
+            bakeoff_cols.append(
+                compress_context(F.col("m.source_text"), F.col("span")).alias("context")
+            )
         to_bakeoff = cand.join(
             auto.select("span", "type_key").distinct(), ["span", "type_key"], "left_anti"
-        ).select(
-            "span",
-            "type_key",
-            F.col("m.norm_key").alias("m_key"),
-            "entity_id",
-            F.col("e.e_norm_key").alias("e_key"),
-        )
+        ).select(*bakeoff_cols)
         scorer = bakeoff_scorer if bakeoff_scorer is not None else default_bakeoff_scorer
         scored = scorer(to_bakeoff)
         w = Window.partitionBy("span", "type_key").orderBy(

@@ -48,9 +48,15 @@ def _etype(expr: str) -> str:
     )
 
 
-def base_ctes() -> str:
-    """transcripts -> winturns -> chunks -> triples -> propositions."""
+def base_ctes(role: str | None = None) -> str:
+    """transcripts -> winturns -> chunks -> triples -> propositions.
+
+    ``role`` scopes the extraction stage to one speaker role — the
+    ExtractionPerspective mirror (extraction.scope_to_perspective). Chunk
+    assembly still sees every turn; only the matched/triples stage filters.
+    """
     pos = "strpos(lower(w.text), r.predicate)"
+    role_clause = f"\n  WHERE lower(w.role) = '{role}'" if role else ""
     return f"""
 WITH RECURSIVE transcripts AS ({transcripts_cte()}),
 relations AS ({relations_cte()}),
@@ -74,7 +80,7 @@ matched AS (
          row_number() OVER (
            PARTITION BY w.conv_id, w.window_id, w.turn_idx ORDER BY r.priority
          ) AS rn
-  FROM winturns w JOIN relations r ON {pos} > 0
+  FROM winturns w JOIN relations r ON {pos} > 0{role_clause}
 ),
 triples AS (
   SELECT m.conv_id,
@@ -265,6 +271,18 @@ FROM chunks
 
 def q_extraction() -> str:
     return base_ctes() + """
+SELECT chunk_id, conv_id, turn_idx, sentence, predicate, priority,
+       subj_span, obj_span, subj_type, obj_type,
+       round(confidence, 6) AS confidence, round(decay, 6) AS decay
+FROM typed_triples
+"""
+
+
+def q_extraction_perspective() -> str:
+    """USER-perspective extraction (ExtractionPerspective.USER,
+    LlmPropositionExtractor.kt:46-56): only user-role turns reach the
+    extractor; chunk windows still assemble over the full dialogue."""
+    return base_ctes(role="user") + """
 SELECT chunk_id, conv_id, turn_idx, sentence, predicate, priority,
        subj_span, obj_span, subj_type, obj_type,
        round(confidence, 6) AS confidence, round(decay, 6) AS decay

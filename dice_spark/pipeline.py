@@ -45,6 +45,7 @@ def run_pipeline(
     run_id: str = "run-0",
     shuffle_partitions: int | None = None,
     spill_dir: str | None = None,
+    perspective: str = "ALL",
     existing_props: DataFrame | None = None,
     existing_edges: DataFrame | None = None,
     schema: DataFrame | None = None,
@@ -73,6 +74,7 @@ def run_pipeline(
         min_confidence=min_confidence,
         run_id=run_id,
         spill_dir=spill_dir,
+        perspective=perspective,
         existing_props=existing_props,
         existing_edges=existing_edges,
         schema=schema,
@@ -88,6 +90,7 @@ def process_chunks(
     min_confidence: float = DEFAULT_MIN_CONFIDENCE,
     run_id: str = "run-0",
     spill_dir: str | None = None,
+    perspective: str = "ALL",
     existing_props: DataFrame | None = None,
     existing_edges: DataFrame | None = None,
     schema: DataFrame | None = None,
@@ -122,9 +125,9 @@ def process_chunks(
     turns = split_turns(chunks)
 
     if use_udf_extractor:
-        triples = extract_triples_udf(turns, conf_overrides)
+        triples = extract_triples_udf(turns, conf_overrides, perspective=perspective)
     else:
-        triples = extract_triples(turns, relations, conf_overrides)
+        triples = extract_triples(turns, relations, conf_overrides, perspective=perspective)
     # Extraction feeds both the mention/canonicalization branch and the
     # proposition branch — materialize once.
     triples = _materialize(triples, "triples")

@@ -5,6 +5,7 @@ orchestrated cycle (AbstractionPass.kt:48-100, ContradictionResolutionPass.kt:40
 from __future__ import annotations
 
 from dice_spark.operators.consolidation import (
+    abstraction_cycles,
     abstraction_pass,
     contradiction_pass,
     dream_loop,
@@ -165,3 +166,73 @@ def test_abstraction_regrowth_mints_fresh_id(spark):
     abs2 = second.filter("consolidation_outcome = 'ABSTRACTED'").collect()
     assert len(abs2) == 1
     assert abs1[0].prop_id != abs2[0].prop_id
+
+
+def test_abstraction_source_level_one(spark):
+    """Level-1 abstractions themselves abstract at >= threshold members:
+    level = max(source levels) + 1 (PropositionAbstractor.kt:40)."""
+    rows = [
+        (f"a{i}", "c", f"Summary[e{i}]: facts", 0.8, 0.1, False, "ACTIVE", 1, [f"p{i}"])
+        for i in range(1, 6)
+    ] + [("p9", "c", "ground fact", 0.9, 0.0, False, "ACTIVE", 0, [])]
+    pe = _pe(spark, [(f"a{i}", "eH") for i in range(1, 6)] + [("p9", "e2")])
+    out = abstraction_pass(_props(spark, rows), pe, "c", source_level=1).collect()
+    abs_rows = [r for r in out if r["consolidation_outcome"] == "ABSTRACTED"]
+    assert len(abs_rows) == 1 and abs_rows[0]["level"] == 2
+    assert sorted(abs_rows[0]["source_ids"]) == [f"a{i}" for i in range(1, 6)]
+    sup = {r["prop_id"] for r in out if r["consolidation_outcome"] == "SUPERSEDED"}
+    assert sup == {f"a{i}" for i in range(1, 6)}
+    # the level-0 row is out of stratum -> untouched
+    assert [r["status"] for r in out if r["prop_id"] == "p9"] == ["ACTIVE"]
+
+
+def test_abstraction_over_max_level_is_noop(spark):
+    """new level > max_level -> group skipped, sources stay ACTIVE
+    (AbstractionPass.kt:86-94: never retire sources with nothing to
+    replace them)."""
+    rows = [
+        (f"t{i}", "c", f"level-3 summary {i}", 0.8, 0.1, False, "ACTIVE", 3, [])
+        for i in range(1, 6)
+    ]
+    pe = _pe(spark, [(f"t{i}", "eT") for i in range(1, 6)])
+    out = abstraction_pass(_props(spark, rows), pe, "c", source_level=3).collect()
+    assert all(r["consolidation_outcome"] == "UNCHANGED" for r in out)
+    assert all(r["status"] == "ACTIVE" for r in out)
+
+
+def test_abstraction_cycles_reaches_level_two(spark):
+    """Multi-cycle loop: a level-0 group abstracts in cycle 1; a pre-existing
+    level-1 cohort on a shared entity abstracts to level 2 in cycle 2."""
+    rows = [
+        (f"p{i}", "c", f"fact {i} about erin", 0.8, 0.1, False, "ACTIVE", 0, [])
+        for i in range(1, 6)
+    ] + [
+        (f"a{i}", "c", f"Prior summary {i}", 0.7, 0.1, False, "ACTIVE", 1, [f"x{i}"])
+        for i in range(1, 6)
+    ]
+    pe = _pe(
+        spark,
+        [(f"p{i}", "e1") for i in range(1, 6)]
+        + [(f"a{i}", "eH") for i in range(1, 6)],
+    )
+    out = abstraction_cycles(_props(spark, rows), pe, "c")
+    store = out["store"].collect()
+    by_level = {}
+    for r in store:
+        by_level.setdefault(r["level"], []).append(r)
+    # cycle 1: one new level-1 abstraction over e1; its 5 sources superseded
+    new_l1 = [r for r in by_level[1] if r["text"].startswith("Summary[e1]")]
+    assert len(new_l1) == 1 and new_l1[0]["status"] == "ACTIVE"
+    assert all(r["status"] == "SUPERSEDED" for r in by_level[0])
+    # cycle 2: the eH cohort abstracts to one ACTIVE level-2 row
+    assert len(by_level[2]) == 1 and by_level[2][0]["status"] == "ACTIVE"
+    assert sorted(by_level[2][0]["source_ids"]) == [f"a{i}" for i in range(1, 6)]
+    prior_ids = {f"a{i}" for i in range(1, 6)}
+    assert all(
+        r["status"] == "SUPERSEDED" for r in by_level[1] if r["prop_id"] in prior_ids
+    )
+    counts = {
+        (r["level"], r["consolidation_outcome"]): r["n"]
+        for r in out["counters"].collect()
+    }
+    assert counts[(1, "ABSTRACTED")] == 1 and counts[(2, "ABSTRACTED")] == 1
