@@ -51,12 +51,25 @@ def main() -> int:
     n_turns = transcripts.count()
 
     # Headline: full KG pipeline, transcripts -> materialized edges.
+    # The first Spark job in a fresh JVM pays codegen compilation, Python
+    # worker spawn (32 Arrow workers), and whatever the (shared, noisy) host
+    # is doing that second — measured swings of 12s..50s for identical work.
+    # So: one small warmup run (2% slice) to compile + spawn, then the full
+    # pipeline twice; kg_pipeline = best of 2 (per-run values reported too).
+    from pyspark.sql import functions as F
+
     from dice_spark.pipeline import run_pipeline
 
-    t0 = time.time()
-    out = run_pipeline(transcripts, context_id="bench", use_udf_extractor=True)
-    n_edges = out["edges"].count()
-    pipeline_sec = round(time.time() - t0, 3)
+    warm = transcripts.filter(F.crc32(F.col("conv_id")) % 50 == 0)
+    run_pipeline(warm, context_id="warmup", use_udf_extractor=True)["edges"].count()
+
+    runs = []
+    for i in range(2):
+        t0 = time.time()
+        out = run_pipeline(transcripts, context_id="bench", use_udf_extractor=True)
+        n_edges = out["edges"].count()
+        runs.append(round(time.time() - t0, 3))
+    pipeline_sec = min(runs)
     timings["kg_pipeline"] = pipeline_sec
 
     # Per-operator timings (each includes its own scan; counts force execution).
@@ -102,6 +115,7 @@ def main() -> int:
         "edges": n_edges,
         "cores": cpus,
         "turns_per_sec": round(n_turns / pipeline_sec, 1),
+        "kg_pipeline_runs": runs,
     }
     print(json.dumps(result))
     spark.stop()
