@@ -10,6 +10,8 @@ expensive tiers' joins (each tier filters to still-unresolved mentions).
 Tier semantics (each accepts only when EXACTLY ONE candidate matches — the
 "exactly-one rule", README.md:811-815, enforced with a window count):
 
+  BY_ID      mention's suggested_id exists in the registry
+                                                        (ByIdCandidateSearcher)
   EXACT      lower(span) == lower(entity name)          (ByExactNameCandidateSearcher)
   NORMALIZED norm_key(span) == norm_key(name)           (NormalizedNameCandidateSearcher)
   PARTIAL    single word <-> multi-word token, len >= 4 (PartialNameCandidateSearcher)
@@ -35,7 +37,7 @@ from pyspark.sql.window import Window
 
 from dice_spark.functions.normalize import norm_key, normalize_name
 
-LEVELS = ["EXACT", "NORMALIZED", "PARTIAL", "FUZZY", "VECTOR", "BAKEOFF", "VETOED"]
+LEVELS = ["BY_ID", "EXACT", "NORMALIZED", "PARTIAL", "FUZZY", "VECTOR", "BAKEOFF", "VETOED"]
 MIN_PART_LENGTH = 4
 MIN_FUZZY_LENGTH = 4
 MAX_DISTANCE_RATIO = 0.2
@@ -155,7 +157,27 @@ def resolve_against_entities(
     default: the reference only adds this searcher when an embedding
     repository is configured.
     """
-    m = prepare_mentions(mentions).alias("m")
+    m_all = prepare_mentions(mentions).alias("m")
+    m = m_all
+    # BY_ID: the extractor's suggested id, verified against the registry
+    # (ByIdCandidateSearcher — cheapest tier, runs before any name match).
+    # A suggested id absent from the registry is NOT a resolution; the
+    # mention falls through to the name ladder like any other.
+    by_id = None
+    if "suggested_id" in mentions.columns:
+        by_id = (
+            m.filter(F.col("m.suggested_id").isNotNull())
+            .join(
+                entities.select(F.col("entity_id")),
+                F.col("m.suggested_id") == F.col("entity_id"),
+            )
+            .select("span", "type_key", "entity_id")
+            .distinct()
+            .withColumn("resolution_level", F.lit("BY_ID"))
+        )
+        m = m.join(
+            by_id.select("span", "type_key").distinct(), ["span", "type_key"], "left_anti"
+        ).alias("m")
     ents = (
         entities.withColumn("e_norm_name", normalize_name("canonical_name"))
         .withColumn("e_norm_key", norm_key("canonical_name"))
@@ -336,8 +358,12 @@ def resolve_against_entities(
         # avoids the AQE zip-partition trap that a lazy one would re-open.
         resolved = resolved.unionByName(best).localCheckpoint(eager=True)
         cand.unpersist()
+    if by_id is not None:
+        resolved = resolved.unionByName(
+            by_id.select("span", "type_key", "entity_id", "resolution_level")
+        )
     out = (
-        m.join(resolved, ["span", "type_key"], "left")
+        m_all.join(resolved, ["span", "type_key"], "left")
         .withColumn(
             "resolution_level", F.coalesce("resolution_level", F.lit("NO_MATCH"))
         )

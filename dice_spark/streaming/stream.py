@@ -56,6 +56,7 @@ class StreamingPipeline:
         overlap: int = OVERLAP_SIZE,
         trigger: int = TRIGGER_INTERVAL,
         use_udf_extractor: bool = True,
+        perspective: str = "ALL",
     ):
         self.spark = spark
         self.wh = Warehouse(warehouse_root, spark)
@@ -64,6 +65,7 @@ class StreamingPipeline:
         self.overlap = overlap
         self.trigger = trigger
         self.use_udf_extractor = use_udf_extractor
+        self.perspective = perspective
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         wh = self.wh
@@ -93,6 +95,7 @@ class StreamingPipeline:
             context_id=self.context_id,
             use_udf_extractor=self.use_udf_extractor,
             run_id=f"batch-{batch_id}",
+            perspective=self.perspective,
         )
         # MERGE keys make replays of a failed micro-batch idempotent.
         wh.merge("propositions", out["propositions"], ["prop_id"])

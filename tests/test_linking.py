@@ -114,3 +114,24 @@ def test_creation_veto_on_closed_types(spark):
         "Acme Corp": "NO_MATCH",
     }
     assert {r.resolved_id for r in out.collect() if r.resolution_level == "VETOED"} == {None}
+
+
+def test_by_id_tier_runs_first_and_verifies(spark):
+    """ByIdCandidateSearcher: a suggested_id present in the registry resolves
+    BY_ID before any name tier; an unknown suggested_id falls through the
+    ladder; mentions without ids are unaffected."""
+    mentions = spark.createDataFrame(
+        [
+            ("The Maestro", "Person", "e2"),       # id hit -> BY_ID (name would never match)
+            ("Hunter Hordern", "Person", "e9"),    # bogus id -> falls to EXACT
+            ("Zelda Fitzgerald", "Person", None),  # no id, unknown -> NO_MATCH
+        ],
+        "span string, entity_type string, suggested_id string",
+    )
+    got = {
+        r["span"]: (r["resolution_level"], r["resolved_id"])
+        for r in resolve_against_entities(mentions, _entities(spark)).collect()
+    }
+    assert got["The Maestro"] == ("BY_ID", "e2")
+    assert got["Hunter Hordern"] == ("EXACT", "e1")
+    assert got["Zelda Fitzgerald"][0] == "NO_MATCH"
