@@ -355,9 +355,20 @@ def q_linking_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split("canonical_name", " "), -1),
         F.concat(F.col("canonical_name"), F.lit("x")),
     ]
+    # A sixth probe per entity aims at the BY_ID tier: an opaque span no name
+    # tier could match, carrying the entity's id as the extractor's suggestion.
     probe = (
         registry.select(
-            F.explode(F.array(*variants)).alias("span"), F.col("entity_type")
+            F.explode(F.array(*variants)).alias("span"),
+            F.col("entity_type"),
+            F.lit(None).cast("string").alias("suggested_id"),
+        )
+        .unionByName(
+            registry.select(
+                F.concat(F.lit("ref#"), F.col("entity_id")).alias("span"),
+                F.col("entity_type"),
+                F.col("entity_id").alias("suggested_id"),
+            )
         )
         .distinct()
         # Materialized: probe and registry share lineage, and resolving a

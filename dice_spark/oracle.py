@@ -554,26 +554,32 @@ def q_linking_ladder(
     return base_ctes() + canonicalization_ctes() + f""",
 ents_m AS MATERIALIZED (SELECT * FROM entities),
 probe AS MATERIALIZED (
-  SELECT DISTINCT span, entity_type FROM (
-    SELECT canonical_name AS span, entity_type FROM ents_m
-    UNION ALL SELECT 'Dr. ' || canonical_name, entity_type FROM ents_m
-    UNION ALL SELECT array_to_string(list_reverse(str_split(canonical_name, ' ')), ' '), entity_type FROM ents_m
-    UNION ALL SELECT str_split(canonical_name, ' ')[-1], entity_type FROM ents_m
-    UNION ALL SELECT canonical_name || 'x', entity_type FROM ents_m
+  SELECT DISTINCT span, entity_type, suggested_id FROM (
+    SELECT canonical_name AS span, entity_type, NULL::varchar AS suggested_id FROM ents_m
+    UNION ALL SELECT 'Dr. ' || canonical_name, entity_type, NULL FROM ents_m
+    UNION ALL SELECT array_to_string(list_reverse(str_split(canonical_name, ' ')), ' '), entity_type, NULL FROM ents_m
+    UNION ALL SELECT str_split(canonical_name, ' ')[-1], entity_type, NULL FROM ents_m
+    UNION ALL SELECT canonical_name || 'x', entity_type, NULL FROM ents_m
+    UNION ALL SELECT 'ref#' || entity_id, entity_type, entity_id FROM ents_m
   )
 ),
-m AS (SELECT span, lower(entity_type) AS type_key, {nk_span} AS norm_key FROM probe),
+m AS (SELECT span, lower(entity_type) AS type_key, {nk_span} AS norm_key, suggested_id FROM probe),
 reg AS MATERIALIZED (
   SELECT entity_id, canonical_name AS e_name, {nk_name} AS e_norm_key,
          lower(entity_type) AS e_type_key
   FROM ents_m
 ),
+byid_r AS (
+  SELECT DISTINCT m.span, m.type_key FROM m
+  JOIN reg r ON m.suggested_id = r.entity_id
+),
+u0 AS (SELECT m.* FROM m ANTI JOIN byid_r USING (span, type_key)),
 exact_r AS (
-  SELECT m.span, m.type_key FROM m
-  JOIN reg r ON lower(m.span) = lower(r.e_name) AND m.type_key = r.e_type_key
+  SELECT u0.span, u0.type_key FROM u0
+  JOIN reg r ON lower(u0.span) = lower(r.e_name) AND u0.type_key = r.e_type_key
   GROUP BY 1, 2 HAVING count(DISTINCT r.entity_id) = 1
 ),
-u1 AS (SELECT m.* FROM m ANTI JOIN exact_r USING (span, type_key)),
+u1 AS (SELECT u0.* FROM u0 ANTI JOIN exact_r USING (span, type_key)),
 norm_r AS (
   SELECT u1.span, u1.type_key FROM u1
   JOIN reg r ON u1.norm_key = r.e_norm_key AND u1.type_key = r.e_type_key
@@ -638,7 +644,8 @@ bake_r AS (
   ) WHERE rn = 1 AND cos >= {bake_accept}
 ),
 levels AS (
-  SELECT span, type_key, 'EXACT' AS resolution_level FROM exact_r
+  SELECT span, type_key, 'BY_ID' AS resolution_level FROM byid_r
+  UNION ALL SELECT span, type_key, 'EXACT' FROM exact_r
   UNION ALL SELECT span, type_key, 'NORMALIZED' FROM norm_r
   UNION ALL SELECT span, type_key, 'PARTIAL' FROM part_r
   UNION ALL SELECT span, type_key, 'FUZZY' FROM fuzzy_r
