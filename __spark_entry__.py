@@ -267,6 +267,93 @@ def q_temporal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_structured_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StructuredReportProjector (dice-report/.../StructuredReportProjector.kt:31-79):
+    status and level histograms plus top-10 by (effective confidence desc,
+    prop_id asc), over the pipeline store after a decay sweep (the sweep
+    supplies the ACTIVE/STALE status mix the histogram summarizes)."""
+    from pyspark.sql.window import Window
+
+    from dice_spark.operators.sweep import (
+        decay_sweep,
+        report_by_level,
+        report_by_status,
+        report_top_n,
+    )
+
+    props = triples_to_propositions(_triples(spark, sf_dir), CTX).withColumn(
+        "content_revised", F.to_timestamp(F.lit("2026-06-01 00:00:00"))
+    )
+    as_of = F.to_timestamp(F.lit("2026-08-17 00:00:00"))
+    swept, _records = decay_sweep(props, as_of, retire_below=0.3)
+    swept = swept.localCheckpoint(eager=False)
+    nulls = [
+        F.lit(None).cast("long").alias("n"),
+        F.lit(None).cast("string").alias("prop_id"),
+        F.lit(None).cast("double").alias("eff_conf"),
+    ]
+    by_status = report_by_status(swept).select(
+        F.lit("by_status").alias("section"), F.col("status").alias("key"),
+        F.col("n").cast("long").alias("n"), *nulls[1:],
+    )
+    by_level = report_by_level(swept).select(
+        F.lit("by_level").alias("section"), F.col("level").cast("string").alias("key"),
+        F.col("n").cast("long").alias("n"), *nulls[1:],
+    )
+    # rank pins the golden ordering inside the order-insensitive driver hash
+    w = Window.orderBy(F.desc("eff_conf"), F.asc("prop_id"))
+    top = (
+        report_top_n(swept, as_of, 10)
+        .withColumn("key", F.row_number().over(w).cast("string"))
+        .select(
+            F.lit("top").alias("section"), "key", nulls[0],
+            "prop_id", F.col("eff_conf").cast("double").alias("eff_conf"),
+        )
+    )
+    return by_status.unionByName(by_level).unionByName(top)
+
+
+def q_graph_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphQuery.neighborhood (GraphQuery.kt:92-100,161-216): BFS
+    first-discovery distances with deterministic min-id predecessor
+    attribution, from the lexicographically smallest entity in the durable
+    graph, depth <= 3."""
+    from dice_spark.operators.graphquery import neighborhood
+
+    edges = project_edges(_classified(spark, sf_dir)).localCheckpoint(eager=True)
+    start = edges.select(
+        F.explode(F.array("source_id", "target_id")).alias("e")
+    ).agg(F.min("e")).collect()[0][0]
+    return neighborhood(edges, start, max_depth=3)
+
+
+def q_gate_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission-gate pipeline (StandardGates.kt:40-312): per-proposition
+    decision — Reject / Demote / RouteToReview / SkipProjection / Persist —
+    with evidence floors (first-declared substring match wins; unmet floor
+    demotes to the declared weaker predicate) over the pipeline store at a
+    pinned as_of."""
+    from dice_spark.functions.decay import effective_confidence
+    from dice_spark.operators.gates import apply_gates
+
+    props = triples_to_propositions(_triples(spark, sf_dir), CTX).withColumn(
+        "content_revised", F.to_timestamp(F.lit("2026-06-01 00:00:00"))
+    )
+    as_of = F.to_timestamp(F.lit("2026-08-17 00:00:00"))
+    props = props.withColumn(
+        "eff_conf", F.round(effective_confidence(as_of=as_of), 6)
+    )
+    floors = spark.createDataFrame(
+        [
+            (0, "is employed by", 0.9, "works with"),
+            (1, "works with", 0.8, None),
+        ],
+        "priority int, predicate string, min_confidence double, demote_to string",
+    )
+    out = apply_gates(props, min_confidence=0.1, floors=floors)
+    return out.select("prop_id", "predicate", "eff_conf", "gate_decision")
+
+
 def q_prop_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PropositionQuery surface: 6 filters + EFFECTIVE_CONFIDENCE_DESC + limit
     (PropositionQuery.kt:46-99 / PropositionStore.matchesFilters:55-84)."""
@@ -691,6 +778,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decay_sweep": q_decay_sweep,
         "prop_query": q_prop_query,
         "temporal_query": q_temporal_query,
+        "structured_report": q_structured_report,
+        "graph_neighborhood": q_graph_neighborhood,
+        "gate_decisions": q_gate_decisions,
         "prop_dup_clusters": q_prop_dup_clusters,
         "memory_consolidation": q_memory_consolidation,
         "linking_ladder": q_linking_ladder,
@@ -726,6 +816,9 @@ def oracle_sql() -> dict[str, str]:
         "decay_sweep": oracle.q_decay_sweep(),
         "prop_query": oracle.q_prop_query(),
         "temporal_query": oracle.q_temporal_query(),
+        "structured_report": oracle.q_structured_report(),
+        "graph_neighborhood": oracle.q_graph_neighborhood(),
+        "gate_decisions": oracle.q_gate_decisions(),
         "prop_dup_clusters": oracle.q_prop_dup_clusters(use_lsh=True),
         "memory_consolidation": oracle.q_memory_consolidation(use_lsh=True),
         "linking_ladder": oracle.q_linking_ladder(),

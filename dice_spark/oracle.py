@@ -448,6 +448,151 @@ FROM decayed
 """
 
 
+def q_structured_report(
+    as_of_epoch: int = 1786924800,  # 2026-08-17T00:00:00Z
+    content_revised_epoch: int = 1780272000,  # 2026-06-01T00:00:00Z
+    retire_below: float = 0.3,
+) -> str:
+    """StructuredReportProjector oracle: decay-swept store -> status/level
+    histograms + rank-pinned top-10 by (eff_conf desc, prop_id asc)."""
+
+    def decay_from(anchor: str) -> str:
+        return (
+            f"round(confidence * exp(-decay * 2.0 * "
+            f"greatest(floor(({as_of_epoch} - {anchor}) / 86400), 0)), 6)"
+        )
+
+    vf, vt = "floor(epoch(valid_from))", "floor(epoch(valid_to))"
+    return base_ctes() + f""",
+store AS (
+  SELECT prop_id, text, confidence, decay, {vf} AS vfe, {vt} AS vte
+  FROM propositions
+),
+eff AS (
+  SELECT prop_id, text,
+         CASE
+           WHEN vfe IS NOT NULL AND NOT (vfe <= {as_of_epoch}
+                AND (vte IS NULL OR {as_of_epoch} < vte)) THEN 0.0
+           WHEN vfe IS NOT NULL AND vte IS NOT NULL THEN confidence
+           WHEN vfe IS NOT NULL THEN {decay_from("vfe")}
+           ELSE {decay_from(str(content_revised_epoch))}
+         END AS eff_conf
+  FROM store
+),
+swept AS (
+  SELECT prop_id, text, eff_conf,
+         CASE WHEN eff_conf < {retire_below} THEN 'STALE' ELSE 'ACTIVE' END AS status
+  FROM eff
+)
+SELECT 'by_status' AS section, status AS key, cast(count(*) AS bigint) AS n,
+       NULL::varchar AS prop_id, NULL::double AS eff_conf
+FROM swept GROUP BY status
+UNION ALL
+SELECT 'by_level', '0', cast(count(*) AS bigint), NULL, NULL FROM swept
+UNION ALL
+SELECT 'top', cast(rn AS varchar), NULL,
+       prop_id, cast(eff_conf AS double)
+FROM (
+  SELECT prop_id, eff_conf,
+         row_number() OVER (ORDER BY eff_conf DESC, prop_id ASC) AS rn
+  FROM swept
+) WHERE rn <= 10
+"""
+
+
+def q_graph_neighborhood(max_depth: int = 3) -> str:
+    """Neighborhood BFS oracle: recursive CTE over the undirected edge list;
+    first-discovery distance = min distance per node, predecessor = min
+    adjacent node at distance-1 (the Spark loop's min-id rule)."""
+    return base_ctes() + canonicalization_ctes() + edges_ctes() + f""",
+gsym AS MATERIALIZED (
+  SELECT source_id AS src, target_id AS dst FROM edges
+  UNION
+  SELECT target_id, source_id FROM edges
+),
+bstart AS (SELECT min(src) AS sid FROM gsym),
+walk(entity_id, distance) AS (
+  SELECT sid, 0 FROM bstart
+  UNION
+  SELECT e.dst, w.distance + 1
+  FROM walk w JOIN gsym e ON e.src = w.entity_id
+  WHERE w.distance < {max_depth}
+),
+dist AS (SELECT entity_id, min(distance) AS distance FROM walk GROUP BY entity_id),
+preds AS (
+  SELECT d.entity_id, d.distance, min(e.src) AS pred
+  FROM dist d
+  JOIN gsym e ON e.dst = d.entity_id
+  JOIN dist p ON p.entity_id = e.src AND p.distance = d.distance - 1
+  GROUP BY d.entity_id, d.distance
+)
+SELECT entity_id, cast(distance AS int) AS distance, pred
+FROM preds WHERE distance > 0
+"""
+
+
+def q_gate_decisions(
+    as_of_epoch: int = 1786924800,
+    content_revised_epoch: int = 1780272000,
+) -> str:
+    """Gate-pipeline oracle: ordered when-chain — Reject (< 0.1), evidence
+    floor Demote/RouteToReview (first-declared substring floor), projection
+    eligibility SkipProjection (< 0.3), else Persist."""
+
+    def decay_from(anchor: str) -> str:
+        return (
+            f"round(confidence * exp(-decay * 2.0 * "
+            f"greatest(floor(({as_of_epoch} - {anchor}) / 86400), 0)), 6)"
+        )
+
+    vf, vt = "floor(epoch(valid_from))", "floor(epoch(valid_to))"
+    return base_ctes() + f""",
+gstore AS (
+  SELECT prop_id, text, predicate, confidence, decay, {vf} AS vfe, {vt} AS vte
+  FROM propositions
+),
+geff AS (
+  SELECT prop_id, text, predicate,
+         CASE
+           WHEN vfe IS NOT NULL AND NOT (vfe <= {as_of_epoch}
+                AND (vte IS NULL OR {as_of_epoch} < vte)) THEN 0.0
+           WHEN vfe IS NOT NULL AND vte IS NOT NULL THEN confidence
+           WHEN vfe IS NOT NULL THEN {decay_from("vfe")}
+           ELSE {decay_from(str(content_revised_epoch))}
+         END AS eff_conf
+  FROM gstore
+),
+floors(fprio, fpred, fmin, fdemote) AS (
+  VALUES (0, 'is employed by', 0.9, 'works with'),
+         (1, 'works with', 0.8, NULL)
+),
+floored AS (
+  SELECT * FROM (
+    SELECT g.*, f.fmin AS floor_min, f.fdemote AS demote_to,
+           row_number() OVER (
+             PARTITION BY g.prop_id ORDER BY f.fprio ASC NULLS LAST
+           ) AS rn
+    FROM geff g LEFT JOIN floors f ON strpos(lower(g.text), f.fpred) > 0
+  ) WHERE rn = 1
+)
+SELECT prop_id,
+       CASE WHEN decision = 'Demote' THEN demote_to ELSE predicate END AS predicate,
+       eff_conf, decision AS gate_decision
+FROM (
+  SELECT *,
+    CASE
+      WHEN eff_conf < 0.1 THEN 'Reject'
+      WHEN floor_min IS NOT NULL AND eff_conf < floor_min
+           AND demote_to IS NOT NULL THEN 'Demote'
+      WHEN floor_min IS NOT NULL AND eff_conf < floor_min THEN 'RouteToReview'
+      WHEN eff_conf < 0.3 THEN 'SkipProjection'
+      ELSE 'Persist'
+    END AS decision
+  FROM floored
+)
+"""
+
+
 def q_prop_query(
     as_of: str = "2024-12-31 00:00:00",
     created_after: str = "2024-01-01 00:00:00",
