@@ -679,6 +679,24 @@ def q_doc_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(emb, threshold=0.35, block_col="label")
 
 
+def q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan (multimodal.frame_sample_plan): one row per
+    planned frame timestamp for video media — the explode shape a real
+    ffmpeg-backed sampler fans out to."""
+    from dice_spark.operators.multimodal import frame_sample_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        (F.col("n_chars") * 10).alias("duration_ms"),
+    )
+    return frame_sample_plan(media, every_ms=1000)
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: documents re-cast as a media table
     (payload = UTF-8 bytes, kind cycles image/audio/video), features via the
@@ -796,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_dups": q_doc_simhash_dups,
         "doc_embedding_dups": q_doc_embedding_dups,
         "media_features": q_media_features,
+        "frame_plan": q_frame_plan,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -834,6 +853,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_simhash_dups": oracle_docs.q_doc_simhash_dups(),
         "doc_embedding_dups": oracle_docs.q_doc_embedding_dups(),
         "media_features": oracle_docs.q_media_features(),
+        "frame_plan": oracle_docs.q_frame_plan(),
         "ann_lsh_topk": oracle_docs.q_ann_lsh_topk(),
         "ann_topk": oracle_docs.q_ann_topk(),
         "ann_ivf_topk": oracle_docs.q_ann_ivf_topk(),

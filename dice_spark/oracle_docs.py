@@ -283,6 +283,23 @@ FROM m
 """
 
 
+def q_frame_plan(every_ms: int = 1000) -> str:
+    """Frame-sampling-plan oracle: one row per planned frame timestamp for
+    video media (mirror of multimodal.frame_sample_plan: inclusive sequence
+    0..duration_ms step every_ms)."""
+    return f"""
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         n_chars * 10 AS duration_ms
+  FROM documents
+)
+SELECT media_id, CAST(u.f AS BIGINT) AS frame_ts_ms
+FROM m, unnest(generate_series(0, duration_ms, {every_ms})) AS u(f)
+WHERE kind = 'video' AND duration_ms IS NOT NULL
+"""
+
+
 def q_ann_lsh_topk(n_planes: int = 4, k: int = 5, dim: int = 64, max_query_id: int = 10) -> str:
     """Hyperplane-LSH ANN oracle: the seeded planes are literal floats, so
     the sign buckets, bucket join, and per-query top-k reproduce exactly
