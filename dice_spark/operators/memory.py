@@ -72,8 +72,12 @@ def consolidate_session(
     boost: float = REINFORCEMENT_BOOST,
     max_token_df: float | None = None,
     use_lsh: bool = False,
-    n_hashes: int = 16,
-    bands: int = 8,
+    # (15, 5) = 5 bands x 3 rows: measured sweet spot of the S-curve for the
+    # threshold-implied word-Jaccard floor ~0.79 (sim 0.7 with empty entity
+    # sets): recall 0.96 at the floor vs 2.5x fewer junk candidates than
+    # 8x2 (which is ~0.9995 recall but collides ~28% of ALL pairs at J~0.2).
+    n_hashes: int = 15,
+    bands: int = 5,
 ) -> dict[str, DataFrame]:
     """Consolidate a session batch into long-term memory.
 

@@ -1102,8 +1102,8 @@ def q_memory_consolidation(
     similarity: float = 0.7,
     reinforce_above: float = 0.9,
     use_lsh: bool = False,
-    n_hashes: int = 16,
-    bands: int = 8,
+    n_hashes: int = 15,
+    bands: int = 5,
 ) -> str:
     """MemoryConsolidator oracle (mirror of operators/memory.py over the
     prop_id-prefix session/long-term split in __spark_entry__): similarity =
