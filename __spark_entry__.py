@@ -472,20 +472,24 @@ def q_revision_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
     LlmPropositionReviser.kt:666-708,513-550)."""
     from dice_spark.operators.revision import revise_batch
 
-    tr = _transcripts(spark, sf_dir)
     # Incoming = conversations whose user id ends in '1' (~10%), existing =
     # the rest: the reference shape is a SMALL incoming batch revised against
     # a large store (candidate pairs stay incoming-bounded, never store^2).
+    # One shared assembly+extraction pass; the split happens at the triple
+    # level (proposition grouping is per side either way, so splitting
+    # triples before the sentence groupBy is value-identical to running the
+    # pipeline per side — windows never span conversations).
     last = F.substring("conv_id", -1, 1)
+    triples = _triples(spark, sf_dir).localCheckpoint(eager=False)
 
-    def props_of(t: DataFrame) -> DataFrame:
+    def props_of(side) -> DataFrame:
         # revise_batch reads each side several times (mentions, text joins,
-        # the revise arithmetic) — checkpoint so extraction runs once per side.
-        return triples_to_propositions(
-            extract_triples_udf(split_turns(assemble_windows(t))), CTX
-        ).localCheckpoint(eager=False)
+        # the revise arithmetic) — checkpoint so grouping runs once per side.
+        return triples_to_propositions(triples.filter(side), CTX).localCheckpoint(
+            eager=False
+        )
 
-    out = revise_batch(props_of(tr.filter(last != "1")), props_of(tr.filter(last == "1")))
+    out = revise_batch(props_of(last != "1"), props_of(last == "1"))
     return out.groupBy("revision_outcome").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("confidence"), 6).alias("sum_conf")
     )
