@@ -683,6 +683,30 @@ def q_doc_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(emb, threshold=0.35, block_col="label")
 
 
+def q_ingestion_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ingestion (TextIngestionHandler.kt:69-110): per-artifact outcome
+    INGESTED / DEDUPLICATED / FAILED over documents with deterministic fault
+    injection — blank text (doc_id % 17 == 0), missing source id
+    (doc_id % 23 == 3), and in-batch duplicate content (a second copy of
+    every doc_id % 5 == 0 under a later source id; min source id wins the
+    hash claim)."""
+    from dice_spark.ingestion import ingest_batch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sid = lambda prefix: F.concat(  # noqa: E731
+        F.lit(prefix), F.lpad(F.col("doc_id").cast("string"), 10, "0")
+    )
+    base = docs.select(
+        F.when(F.col("doc_id") % 23 != 3, sid("a")).alias("source_id"),
+        F.when(F.col("doc_id") % 17 != 0, F.col("text")).otherwise(F.lit("  ")).alias("text"),
+    )
+    dups = docs.filter(F.col("doc_id") % 5 == 0).select(
+        sid("b").alias("source_id"), F.col("text").alias("text")
+    )
+    out = ingest_batch(base.unionByName(dups))["outcomes"]
+    return out.select("source_id", "content_hash", "outcome", "fail_reason")
+
+
 def q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plan (multimodal.frame_sample_plan): one row per
     planned frame timestamp for video media — the explode shape a real
@@ -819,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_embedding_dups": q_doc_embedding_dups,
         "media_features": q_media_features,
         "frame_plan": q_frame_plan,
+        "ingestion_outcomes": q_ingestion_outcomes,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -858,6 +883,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_embedding_dups": oracle_docs.q_doc_embedding_dups(),
         "media_features": oracle_docs.q_media_features(),
         "frame_plan": oracle_docs.q_frame_plan(),
+        "ingestion_outcomes": oracle_docs.q_ingestion_outcomes(),
         "ann_lsh_topk": oracle_docs.q_ann_lsh_topk(),
         "ann_topk": oracle_docs.q_ann_topk(),
         "ann_ivf_topk": oracle_docs.q_ann_ivf_topk(),

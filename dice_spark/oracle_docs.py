@@ -300,6 +300,42 @@ WHERE kind = 'video' AND duration_ms IS NOT NULL
 """
 
 
+def q_ingestion_outcomes() -> str:
+    """Ingestion oracle: validation reasons, sha256 content hash, and the
+    min-source-id in-batch claim (mirror of ingestion.ingest_batch with no
+    pre-seeded ledger)."""
+    return """
+WITH arts AS (
+  SELECT CASE WHEN doc_id % 23 <> 3
+              THEN 'a' || lpad(CAST(doc_id AS VARCHAR), 10, '0') END AS source_id,
+         CASE WHEN doc_id % 17 <> 0 THEN text ELSE '  ' END AS text
+  FROM documents
+  UNION ALL
+  SELECT 'b' || lpad(CAST(doc_id AS VARCHAR), 10, '0'), text
+  FROM documents WHERE doc_id % 5 = 0
+),
+hashed AS (
+  SELECT source_id, text, lower(sha256(coalesce(text, ''))) AS content_hash,
+         CASE WHEN source_id IS NULL THEN 'missing_source_id'
+              WHEN text IS NULL OR length(trim(text)) = 0 THEN 'blank_text'
+         END AS fail_reason
+  FROM arts
+),
+valid AS (
+  SELECT source_id, content_hash,
+         row_number() OVER (PARTITION BY content_hash ORDER BY source_id) AS rn
+  FROM hashed WHERE fail_reason IS NULL
+)
+SELECT source_id, content_hash,
+       CASE WHEN rn = 1 THEN 'INGESTED' ELSE 'DEDUPLICATED' END AS outcome,
+       NULL::varchar AS fail_reason
+FROM valid
+UNION ALL
+SELECT source_id, content_hash, 'FAILED', fail_reason
+FROM hashed WHERE fail_reason IS NOT NULL
+"""
+
+
 def q_ann_lsh_topk(n_planes: int = 4, k: int = 5, dim: int = 64, max_query_id: int = 10) -> str:
     """Hyperplane-LSH ANN oracle: the seeded planes are literal floats, so
     the sign buckets, bucket join, and per-query top-k reproduce exactly
