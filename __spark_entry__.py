@@ -552,6 +552,36 @@ def q_retrieval_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res["propositions"].select("prop_id", "text", "score")
 
 
+def q_retrieval_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RetrievalRouter TEMPORAL mode (RetrievalRouter.kt:139-155 —
+    findByCreatedBetween on a TemporalQueryCapable store): created-range
+    scan over the scoped store. ``created`` is the deterministic md5-derived
+    instant both engines recompute; the window is sized under the topK
+    clamp so the un-ordered reference truncation never bites."""
+    from dice_spark.operators.extraction import TEMPORAL_BASE_EPOCH
+    from dice_spark.operators.router import DiscoveryQuery, retrieve
+
+    props = triples_to_propositions(_triples(spark, sf_dir), CTX)
+    h = F.conv(F.substring("prop_id", 1, 6), 16, 10).cast("long")
+    props = props.withColumn(
+        "created",
+        F.timestamp_seconds(F.lit(TEMPORAL_BASE_EPOCH) + (h % 365) * 86400),
+    )
+    res = retrieve(
+        props,
+        DiscoveryQuery(
+            mode="TEMPORAL",
+            from_ts="2026-03-01 00:00:00",
+            to_ts="2026-03-05 00:00:00",
+            top_k=100,
+        ),
+        CTX,
+    )
+    return res["propositions"].select(
+        "prop_id", "text", F.col("created").cast("long").alias("created_epoch")
+    )
+
+
 # --- training-data pipeline queries (documents / embeddings) ----------------------
 
 
@@ -834,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consolidation": q_consolidation,
         "retrieval_vector": q_retrieval_vector,
         "retrieval_hybrid": q_retrieval_hybrid,
+        "retrieval_temporal": q_retrieval_temporal,
         "reconciler": q_reconciler,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_stats": q_doc_stats,
@@ -874,6 +905,7 @@ def oracle_sql() -> dict[str, str]:
         "consolidation": oracle.q_consolidation(),
         "retrieval_vector": oracle.q_retrieval_vector(),
         "retrieval_hybrid": oracle.q_retrieval_hybrid(),
+        "retrieval_temporal": oracle.q_retrieval_temporal(),
         "reconciler": oracle.q_reconciler(),
         "doc_exact_dedup": oracle_docs.q_doc_exact_dedup(),
         "doc_stats": oracle_docs.q_doc_stats(),

@@ -531,6 +531,25 @@ FROM preds WHERE distance > 0
 """
 
 
+def q_retrieval_temporal(
+    from_ts: str = "2026-03-01 00:00:00",
+    to_ts: str = "2026-03-05 00:00:00",
+) -> str:
+    """TEMPORAL retrieval oracle: created-range filter over the scoped store
+    (created = base + (md5 prefix % 365) days, both engines recompute)."""
+    return base_ctes() + f""",
+tstore AS (
+  SELECT prop_id, text,
+         to_timestamp({TEMPORAL_BASE_EPOCH}
+           + (('0x' || substr(prop_id, 1, 6))::bigint % 365) * 86400) AS created
+  FROM propositions
+)
+SELECT prop_id, text, CAST(floor(epoch(created)) AS BIGINT) AS created_epoch
+FROM tstore
+WHERE created >= timestamp '{from_ts}' AND created <= timestamp '{to_ts}'
+"""
+
+
 def q_gate_decisions(
     as_of_epoch: int = 1786924800,
     content_revised_epoch: int = 1780272000,
