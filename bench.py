@@ -75,6 +75,7 @@ def main() -> int:
     # Per-operator timings (each includes its own scan; counts force execution).
     timed("turn_assembly", lambda: entry.q_turn_assembly(spark, sf_dir).count())
     timed("extraction", lambda: entry.q_extraction(spark, sf_dir).count())
+    timed("extraction_perspective", lambda: entry.q_extraction_perspective(spark, sf_dir).count())
     timed("propositions", lambda: entry.q_propositions(spark, sf_dir).count())
     timed("entities", lambda: entry.q_entities(spark, sf_dir).count())
     timed("doc_exact_dedup", lambda: entry.q_doc_exact_dedup(spark, sf_dir).count())
@@ -94,6 +95,12 @@ def main() -> int:
     timed("media_features", lambda: entry.q_media_features(spark, sf_dir).count())
     timed("ann_lsh_topk", lambda: entry.q_ann_lsh_topk(spark, sf_dir).count())
     timed("retrieval_hybrid", lambda: entry.q_retrieval_hybrid(spark, sf_dir).count())
+    timed("retrieval_temporal", lambda: entry.q_retrieval_temporal(spark, sf_dir).count())
+    timed("structured_report", lambda: entry.q_structured_report(spark, sf_dir).count())
+    timed("gate_decisions", lambda: entry.q_gate_decisions(spark, sf_dir).count())
+    timed("graph_neighborhood", lambda: entry.q_graph_neighborhood(spark, sf_dir).count())
+    timed("frame_plan", lambda: entry.q_frame_plan(spark, sf_dir).count())
+    timed("ingestion_outcomes", lambda: entry.q_ingestion_outcomes(spark, sf_dir).count())
     timed("reconciler", lambda: entry.q_reconciler(spark, sf_dir).count())
     # memory_consolidation runs the banded-MinHash pair stage
     # (consolidate_session(use_lsh=True)) — bucket-bounded even on this
