@@ -552,6 +552,76 @@ def q_retrieval_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res["propositions"].select("prop_id", "text", "score")
 
 
+def q_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DecayStatusPolicy hysteresis (spi/StatusTransitionPolicy.kt:91-112):
+    ACTIVE falls to STALE below 0.1, STALE recovers to ACTIVE above 0.2, the
+    0.1-0.2 dead band holds its prior status. Prior status is seeded by
+    prop_id hex parity so both transitions fire."""
+    from dice_spark.functions.decay import effective_confidence
+    from dice_spark.operators.sweep import hysteresis_transition
+
+    props = triples_to_propositions(_triples(spark, sf_dir), CTX).withColumn(
+        "content_revised", F.to_timestamp(F.lit("2026-06-01 00:00:00"))
+    ).withColumn(
+        "status",
+        F.when(F.substring("prop_id", 1, 1).isin(*"01234567"), "STALE").otherwise("ACTIVE"),
+    )
+    as_of = F.to_timestamp(F.lit("2026-08-17 00:00:00"))
+    out = hysteresis_transition(props, as_of)
+    return out.select(
+        "prop_id",
+        F.round(effective_confidence(as_of=as_of), 6).alias("eff_conf"),
+        F.when(F.substring("prop_id", 1, 1).isin(*"01234567"), "STALE")
+        .otherwise("ACTIVE").alias("prior_status"),
+        "status",
+    )
+
+
+def q_known_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KnownEntityResolver broadcast fast path (common/resolver/
+    KnownEntityResolver.kt): pre-seeded entities resolve by normalized name
+    before the ladder — labels covering the mention type -> KNOWN_REFERENCE,
+    else KNOWN_WIDENED; unknown names stay unresolved. The known list and
+    label coverage are seeded deterministically from the registry by
+    entity-id hex prefix."""
+    from dice_spark.operators.linking import known_entity_fast_path
+
+    entities, _ = canonicalize_mentions(_mentions(_triples(spark, sf_dir)), CTX)
+    registry = entities.select(
+        "entity_id", "canonical_name", "entity_type"
+    ).localCheckpoint(eager=True)
+    first = F.substring("entity_id", 1, 1)
+    known = registry.filter(first.isin(*"01234567")).select(
+        "entity_id",
+        "canonical_name",
+        F.when(first.isin(*"0123"), F.array(F.lower("entity_type")))
+        .otherwise(F.array(F.lit("external")))
+        .alias("labels"),
+    )
+    mentions = (
+        registry.select(
+            F.concat(F.lit("Dr. "), F.col("canonical_name")).alias("span"),
+            F.col("entity_type"),
+        )
+        .unionByName(
+            registry.select(
+                F.array_join(F.reverse(F.split("canonical_name", " ")), " ").alias("span"),
+                F.col("entity_type"),
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    picked, remaining = known_entity_fast_path(mentions, known)
+    return picked.select("span", "type_key", "resolved_id", "resolution_level").unionByName(
+        remaining.select(
+            "span", "type_key",
+            F.lit(None).cast("string").alias("resolved_id"),
+            F.lit("UNRESOLVED").alias("resolution_level"),
+        )
+    )
+
+
 def q_retrieval_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RetrievalRouter TEMPORAL mode (RetrievalRouter.kt:139-155 —
     findByCreatedBetween on a TemporalQueryCapable store): created-range
@@ -865,6 +935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_vector": q_retrieval_vector,
         "retrieval_hybrid": q_retrieval_hybrid,
         "retrieval_temporal": q_retrieval_temporal,
+        "hysteresis": q_hysteresis,
+        "known_entities": q_known_entities,
         "reconciler": q_reconciler,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_stats": q_doc_stats,
@@ -906,6 +978,8 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_vector": oracle.q_retrieval_vector(),
         "retrieval_hybrid": oracle.q_retrieval_hybrid(),
         "retrieval_temporal": oracle.q_retrieval_temporal(),
+        "hysteresis": oracle.q_hysteresis(),
+        "known_entities": oracle.q_known_entities(),
         "reconciler": oracle.q_reconciler(),
         "doc_exact_dedup": oracle_docs.q_doc_exact_dedup(),
         "doc_stats": oracle_docs.q_doc_stats(),

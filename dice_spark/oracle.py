@@ -550,6 +550,96 @@ WHERE created >= timestamp '{from_ts}' AND created <= timestamp '{to_ts}'
 """
 
 
+def q_hysteresis(
+    as_of_epoch: int = 1786924800,
+    content_revised_epoch: int = 1780272000,
+) -> str:
+    """DecayStatusPolicy hysteresis oracle: seeded prior status by hex
+    parity; ACTIVE < 0.1 -> STALE, STALE > 0.2 -> ACTIVE, dead band holds."""
+
+    def decay_from(anchor: str) -> str:
+        return (
+            f"round(confidence * exp(-decay * 2.0 * "
+            f"greatest(floor(({as_of_epoch} - {anchor}) / 86400), 0)), 6)"
+        )
+
+    vf, vt = "floor(epoch(valid_from))", "floor(epoch(valid_to))"
+    return base_ctes() + f""",
+hstore AS (
+  SELECT prop_id, confidence, decay, {vf} AS vfe, {vt} AS vte,
+         CASE WHEN substr(prop_id, 1, 1) IN ('0','1','2','3','4','5','6','7')
+              THEN 'STALE' ELSE 'ACTIVE' END AS prior_status
+  FROM propositions
+),
+heff AS (
+  SELECT prop_id, prior_status,
+         CASE
+           WHEN vfe IS NOT NULL AND NOT (vfe <= {as_of_epoch}
+                AND (vte IS NULL OR {as_of_epoch} < vte)) THEN 0.0
+           WHEN vfe IS NOT NULL AND vte IS NOT NULL THEN confidence
+           WHEN vfe IS NOT NULL THEN {decay_from("vfe")}
+           ELSE {decay_from(str(content_revised_epoch))}
+         END AS eff_conf
+  FROM hstore
+)
+SELECT prop_id, eff_conf, prior_status,
+       CASE
+         WHEN prior_status = 'ACTIVE' AND eff_conf < 0.1 THEN 'STALE'
+         WHEN prior_status = 'STALE' AND eff_conf > 0.2 THEN 'ACTIVE'
+         ELSE prior_status
+       END AS status
+FROM heff
+"""
+
+
+def q_known_entities() -> str:
+    """KnownEntityResolver fast-path oracle: normalized-name broadcast match
+    with covered-label preference then min entity id; unmatched mentions
+    UNRESOLVED."""
+    nk_name = duckdb_norm_key_sql("canonical_name")
+    nk_span = duckdb_norm_key_sql("span")
+    return base_ctes() + canonicalization_ctes() + f""",
+kents AS MATERIALIZED (SELECT * FROM entities),
+known AS (
+  SELECT entity_id AS k_id, {nk_name} AS k_key,
+         CASE WHEN substr(entity_id, 1, 1) IN ('0','1','2','3')
+              THEN [lower(entity_type)] ELSE ['external'] END AS k_labels
+  FROM kents
+  WHERE substr(entity_id, 1, 1) IN ('0','1','2','3','4','5','6','7')
+),
+kmention AS (
+  SELECT DISTINCT span, entity_type FROM (
+    SELECT 'Dr. ' || canonical_name AS span, entity_type FROM kents
+    UNION ALL
+    SELECT array_to_string(list_reverse(str_split(canonical_name, ' ')), ' '), entity_type FROM kents
+  )
+),
+km AS (SELECT span, lower(entity_type) AS type_key, {nk_span} AS norm_key FROM kmention),
+kcand AS (
+  SELECT km.span, km.type_key, k.k_id, k.k_labels
+  FROM km LEFT JOIN known k ON km.norm_key = k.k_key
+),
+kpicked AS (
+  SELECT * FROM (
+    SELECT span, type_key, k_id,
+           list_contains(k_labels, type_key) AS covered,
+           row_number() OVER (
+             PARTITION BY span, type_key
+             ORDER BY CASE WHEN list_contains(k_labels, type_key) THEN 1 ELSE 0 END DESC,
+                      k_id ASC
+           ) AS rn
+    FROM kcand WHERE k_id IS NOT NULL
+  ) WHERE rn = 1
+)
+SELECT span, type_key, k_id AS resolved_id,
+       CASE WHEN covered THEN 'KNOWN_REFERENCE' ELSE 'KNOWN_WIDENED' END AS resolution_level
+FROM kpicked
+UNION ALL
+SELECT km.span, km.type_key, NULL, 'UNRESOLVED'
+FROM km ANTI JOIN kpicked USING (span, type_key)
+"""
+
+
 def q_gate_decisions(
     as_of_epoch: int = 1786924800,
     content_revised_epoch: int = 1780272000,
