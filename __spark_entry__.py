@@ -188,6 +188,28 @@ def q_projection_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stale_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ProjectionLineageStaleCascade (projection/lineage/
+    ProjectionLineageStaleCascade.kt): lineage records whose proposition
+    reached a terminal status (SUPERSEDED / CONTRADICTED / STALE) flag
+    stale. Terminal statuses are seeded deterministically by prop_id hex
+    prefix so the cascade semi-join is value-checked."""
+    from dice_spark.operators.projection import projection_records, stale_cascade
+
+    c = _classified(spark, sf_dir)
+    records = projection_records(c, "run-r3")
+    first = F.substring("prop_id", 1, 1)
+    props = records.select("prop_id").distinct().withColumn(
+        "status",
+        F.when(first.isin(*"01"), "CONTRADICTED")
+        .when(first.isin(*"23"), "SUPERSEDED")
+        .otherwise("ACTIVE"),
+    )
+    return stale_cascade(records, props).select(
+        "run_id", "prop_id", "lifecycle", "target_ref", "reason", "stale"
+    )
+
+
 def q_incremental_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triggered_windows(_transcripts(spark, sf_dir), None)
 
@@ -919,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entities": q_entities,
         "kg_edges": q_kg_edges,
         "projection_lineage": q_projection_lineage,
+        "stale_cascade": q_stale_cascade,
         "incremental_trigger": q_incremental_trigger,
         "two_hop_links": q_two_hop,
         "decay_sweep": q_decay_sweep,
@@ -962,6 +985,7 @@ def oracle_sql() -> dict[str, str]:
         "entities": oracle.q_entities(),
         "kg_edges": oracle.q_edges(),
         "projection_lineage": oracle.q_projection_lineage(),
+        "stale_cascade": oracle.q_stale_cascade(),
         "incremental_trigger": oracle.q_incremental_trigger(),
         "two_hop_links": oracle.q_two_hop(),
         "decay_sweep": oracle.q_decay_sweep(),

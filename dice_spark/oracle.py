@@ -640,6 +640,25 @@ FROM km ANTI JOIN kpicked USING (span, type_key)
 """
 
 
+def q_stale_cascade() -> str:
+    """Stale-cascade oracle: per-record lineage rows with the terminal-status
+    semi-join flag (statuses seeded by prop_id hex prefix)."""
+    return base_ctes() + canonicalization_ctes() + edges_ctes() + """,
+lrecords AS (
+  SELECT 'run-r3' AS run_id, prop_id,
+         CASE WHEN reason IS NULL THEN 'PROJECTED' ELSE 'SKIPPED' END AS lifecycle,
+         CASE WHEN reason IS NULL
+              THEN subj_id || '-[' || regexp_replace(upper(trim(predicate)), '\\s+', '_', 'g')
+                   || ']->' || obj_id END AS target_ref,
+         reason
+  FROM classified
+)
+SELECT run_id, prop_id, lifecycle, target_ref, reason,
+       substr(prop_id, 1, 1) IN ('0','1','2','3') AS stale
+FROM lrecords
+"""
+
+
 def q_gate_decisions(
     as_of_epoch: int = 1786924800,
     content_revised_epoch: int = 1780272000,
