@@ -210,6 +210,25 @@ def q_stale_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grounding_wiring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroundingWiringService (projection/grounding/GroundingWiringService.kt:57-69):
+    prop -[GROUNDED_IN]-> node edges — exact registry hits first, then the
+    namespace-suffix rule (the part after the FIRST ':' matching node ids
+    that end with it); unresolvable ids skip. Registry seeded from chunks of
+    conversations ending in '3' plus one namespace node."""
+    from dice_spark.operators.projection import grounding_edges
+
+    props = triples_to_propositions(_triples(spark, sf_dir), CTX)
+    chunks = assemble_windows(_transcripts(spark, sf_dir))
+    nodes = (
+        chunks.filter(F.substring("conv_id", -2, 2) == "33")
+        .select(F.col("chunk_id").alias("node_id"))
+        .unionByName(spark.createDataFrame([("node:0:20",)], "node_id string"))
+        .distinct()
+    )
+    return grounding_edges(props, nodes)["edges"]
+
+
 def q_incremental_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triggered_windows(_transcripts(spark, sf_dir), None)
 
@@ -942,6 +961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": q_kg_edges,
         "projection_lineage": q_projection_lineage,
         "stale_cascade": q_stale_cascade,
+        "grounding_wiring": q_grounding_wiring,
         "incremental_trigger": q_incremental_trigger,
         "two_hop_links": q_two_hop,
         "decay_sweep": q_decay_sweep,
@@ -986,6 +1006,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_edges": oracle.q_edges(),
         "projection_lineage": oracle.q_projection_lineage(),
         "stale_cascade": oracle.q_stale_cascade(),
+        "grounding_wiring": oracle.q_grounding_wiring(),
         "incremental_trigger": oracle.q_incremental_trigger(),
         "two_hop_links": oracle.q_two_hop(),
         "decay_sweep": oracle.q_decay_sweep(),

@@ -659,6 +659,53 @@ FROM lrecords
 """
 
 
+def q_grounding_wiring() -> str:
+    """Grounding-wiring oracle: capped grounding ids resolve exactly against
+    the seeded registry, else by namespace suffix (after the first ':',
+    node ids ending with it)."""
+    return base_ctes() + f""",
+gr AS (
+  SELECT r.sentence, r.chunk_id AS gid
+  FROM (
+    SELECT t.sentence, t.chunk_id,
+           row_number() OVER (PARTITION BY t.sentence ORDER BY t.chunk_id) AS rn
+    FROM typed_triples t
+  ) r
+  WHERE r.rn <= 100
+  GROUP BY r.sentence, r.chunk_id
+),
+greg AS (
+  SELECT (conv_id || ':' || cast(window_start as varchar) || ':' ||
+          cast(window_end as varchar)) AS node_id
+  FROM chunks WHERE substr(conv_id, length(conv_id) - 1, 2) = '33'
+  UNION SELECT 'node:0:20'
+),
+gexact AS (
+  SELECT g.sentence, g.gid, r.node_id AS target_id
+  FROM gr g JOIN greg r ON g.gid = r.node_id
+),
+gmissed AS (SELECT g.* FROM gr g ANTI JOIN gexact USING (sentence, gid)),
+gsuffix AS (
+  SELECT m.sentence, m.gid, r.node_id AS target_id
+  FROM (
+    SELECT *, substr(gid, strpos(gid, ':') + 1) AS sfx FROM gmissed
+    WHERE contains(gid, ':')
+      AND length(substr(gid, strpos(gid, ':') + 1)) > 0
+      AND substr(gid, strpos(gid, ':') + 1) <> gid
+  ) m
+  JOIN greg r ON ends_with(r.node_id, m.sfx)
+),
+gres AS (
+  SELECT sentence, target_id FROM gexact
+  UNION ALL SELECT sentence, target_id FROM gsuffix
+)
+SELECT DISTINCT md5('{CTX}' || '|' || sentence) AS source_id, target_id,
+       'GROUNDED_IN' AS edge_type,
+       md5('{CTX}' || '|' || sentence) || '-[GROUNDED_IN]->' || target_id AS edge_ref
+FROM gres
+"""
+
+
 def q_gate_decisions(
     as_of_epoch: int = 1786924800,
     content_revised_epoch: int = 1780272000,
