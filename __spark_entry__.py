@@ -229,6 +229,21 @@ def q_grounding_wiring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grounding_edges(props, nodes)["edges"]
 
 
+def q_path_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphQuery.pathBetween (GraphQuery.kt:118-130,218-253): the single BFS
+    shortest path between the lexicographically smallest and largest graph
+    entities, as (step, entity_id) rows — deterministic min-predecessor
+    tie-break, O(path) driver payload."""
+    from dice_spark.operators.graphquery import path_between
+
+    edges = project_edges(_classified(spark, sf_dir)).localCheckpoint(eager=True)
+    ids = edges.select(F.explode(F.array("source_id", "target_id")).alias("e"))
+    bounds = ids.agg(F.min("e").alias("lo"), F.max("e").alias("hi")).collect()[0]
+    path = path_between(edges, bounds["lo"], bounds["hi"], max_depth=5)
+    rows = [(i, x) for i, x in enumerate(path or [])]
+    return spark.createDataFrame(rows or [], "step int, entity_id string")
+
+
 def q_incremental_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triggered_windows(_transcripts(spark, sf_dir), None)
 
@@ -969,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_query": q_temporal_query,
         "structured_report": q_structured_report,
         "graph_neighborhood": q_graph_neighborhood,
+        "path_between": q_path_between,
         "gate_decisions": q_gate_decisions,
         "prop_dup_clusters": q_prop_dup_clusters,
         "memory_consolidation": q_memory_consolidation,
@@ -1014,6 +1030,7 @@ def oracle_sql() -> dict[str, str]:
         "temporal_query": oracle.q_temporal_query(),
         "structured_report": oracle.q_structured_report(),
         "graph_neighborhood": oracle.q_graph_neighborhood(),
+        "path_between": oracle.q_path_between(),
         "gate_decisions": oracle.q_gate_decisions(),
         "prop_dup_clusters": oracle.q_prop_dup_clusters(use_lsh=True),
         "memory_consolidation": oracle.q_memory_consolidation(use_lsh=True),

@@ -706,6 +706,47 @@ FROM gres
 """
 
 
+def q_path_between(max_depth: int = 5) -> str:
+    """pathBetween oracle: BFS layers with the min-predecessor rule, then a
+    recursive backtrack from the largest entity to the smallest; steps
+    re-indexed from the start."""
+    return base_ctes() + canonicalization_ctes() + edges_ctes() + f""",
+gsym AS MATERIALIZED (
+  SELECT source_id AS src, target_id AS dst FROM edges
+  UNION
+  SELECT target_id, source_id FROM edges
+),
+pstart AS (SELECT min(src) AS sid FROM gsym),
+ptarget AS (SELECT max(src) AS tid FROM gsym),
+walk(entity_id, distance) AS (
+  SELECT sid, 0 FROM pstart
+  UNION
+  SELECT e.dst, w.distance + 1
+  FROM walk w JOIN gsym e ON e.src = w.entity_id
+  WHERE w.distance < {max_depth}
+),
+dist AS (SELECT entity_id, min(distance) AS distance FROM walk GROUP BY entity_id),
+preds_all AS (
+  SELECT d.entity_id, min(e.src) AS pred
+  FROM dist d
+  JOIN gsym e ON e.dst = d.entity_id
+  JOIN dist p ON p.entity_id = e.src AND p.distance = d.distance - 1
+  GROUP BY d.entity_id, d.distance
+  UNION ALL
+  SELECT sid, NULL FROM pstart
+),
+trail(step, entity_id) AS (
+  SELECT 0, d.entity_id FROM dist d, ptarget WHERE d.entity_id = ptarget.tid
+  UNION ALL
+  SELECT t.step + 1, p.pred
+  FROM trail t JOIN preds_all p ON p.entity_id = t.entity_id
+  WHERE p.pred IS NOT NULL
+)
+SELECT CAST((SELECT max(step) FROM trail) - step AS INT) AS step, entity_id
+FROM trail
+"""
+
+
 def q_gate_decisions(
     as_of_epoch: int = 1786924800,
     content_revised_epoch: int = 1780272000,
