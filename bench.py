@@ -101,6 +101,11 @@ def main() -> int:
     timed("graph_neighborhood", lambda: entry.q_graph_neighborhood(spark, sf_dir).count())
     timed("frame_plan", lambda: entry.q_frame_plan(spark, sf_dir).count())
     timed("ingestion_outcomes", lambda: entry.q_ingestion_outcomes(spark, sf_dir).count())
+    timed("hysteresis", lambda: entry.q_hysteresis(spark, sf_dir).count())
+    timed("known_entities", lambda: entry.q_known_entities(spark, sf_dir).count())
+    timed("stale_cascade", lambda: entry.q_stale_cascade(spark, sf_dir).count())
+    timed("grounding_wiring", lambda: entry.q_grounding_wiring(spark, sf_dir).count())
+    timed("path_between", lambda: entry.q_path_between(spark, sf_dir).count())
     timed("reconciler", lambda: entry.q_reconciler(spark, sf_dir).count())
     # memory_consolidation runs the banded-MinHash pair stage
     # (consolidate_session(use_lsh=True)) — bucket-bounded even on this
