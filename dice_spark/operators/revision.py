@@ -107,11 +107,49 @@ def revise(existing: DataFrame, incoming: DataFrame, classified_pairs: DataFrame
 
     if classified_pairs is not None:
         cls = classified_pairs.alias("cls")
+        # IDENTICAL classifications merge, and per new proposition identical
+        # outranks contradictory outranks similar (classifiedToResult,
+        # LlmPropositionReviser.kt:478-509: `find` identical first). One merge
+        # per new prop — the reference's first-found candidate made
+        # deterministic as min existing_id.
+        ident_one = (
+            cls.filter(F.col("relation") == "IDENTICAL")
+            .withColumn(
+                "_rn",
+                F.row_number().over(Window.partitionBy("new_id").orderBy("existing_id")),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .alias("cls")
+        )
+        ident_new_ids = ident_one.select(F.col("new_id"))
+        im = rest_ex.join(ident_one, F.col("ex.prop_id") == F.col("cls.existing_id")).join(
+            rest_inc, F.col("inc.prop_id") == F.col("cls.new_id")
+        )
+        i_conf, i_dec = merge_arithmetic(
+            F.col("ex.confidence"), F.col("inc.confidence"), F.col("ex.decay")
+        )
+        ident_rows = im.select(
+            F.col("ex.prop_id").alias("prop_id"),
+            F.col("ex.context_id").alias("context_id"),
+            F.col("ex.text").alias("text"),
+            F.round(i_conf, 6).alias("confidence"),
+            F.round(i_dec, 6).alias("decay"),
+            F.col("ex.pinned").alias("pinned"),
+            F.col("ex.status").alias("status"),
+            (F.col("ex.reinforce_count") + 1).alias("reinforce_count"),
+            F.array_sort(
+                F.array_distinct(F.array_union(F.col("ex.grounding"), F.col("inc.grounding")))
+            ).alias("grounding"),
+            F.lit("MERGED").alias("revision_outcome"),
+        )
         # SIMILAR below the floor is treated UNRELATED (:85,487-501).
         reinforce = cls.filter(
             (F.col("relation") == "SIMILAR") & (F.col("similarity") >= MIN_SIMILARITY_FOR_REINFORCE)
+        ).join(ident_new_ids, "new_id", "left_anti")
+        contradict = cls.filter(F.col("relation") == "CONTRADICTORY").join(
+            ident_new_ids, "new_id", "left_anti"
         )
-        contradict = cls.filter(F.col("relation") == "CONTRADICTORY")
 
         r = rest_ex.join(reinforce, F.col("ex.prop_id") == F.col("cls.existing_id")).join(
             rest_inc, F.col("inc.prop_id") == F.col("cls.new_id")
@@ -161,9 +199,12 @@ def revise(existing: DataFrame, incoming: DataFrame, classified_pairs: DataFrame
             reinforced_rows.select("prop_id")
             .unionByName(contradicted_rows.select("prop_id"))
             .unionByName(review_rows.select("prop_id"))
+            .unionByName(ident_rows.select("prop_id"))
         )
-        consumed_inc = r.select(F.col("inc.prop_id").alias("prop_id"))
-        extra = [reinforced_rows, contradicted_rows, review_rows]
+        consumed_inc = r.select(F.col("inc.prop_id").alias("prop_id")).unionByName(
+            im.select(F.col("inc.prop_id").alias("prop_id"))
+        )
+        extra = [ident_rows, reinforced_rows, contradicted_rows, review_rows]
     else:
         touched = merged_ex_ids.limit(0)
         consumed_inc = merged_inc_ids.limit(0)

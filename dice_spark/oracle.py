@@ -1086,6 +1086,21 @@ merged AS (
 ),
 rest_ex AS (SELECT * FROM ex ANTI JOIN (SELECT e_id AS prop_id FROM merged) USING (prop_id)),
 rest_inc AS (SELECT * FROM inc ANTI JOIN (SELECT i_id AS prop_id FROM merged) USING (prop_id)),
+ident_one AS (
+  -- identical outranks contradictory outranks similar per new prop
+  -- (classifiedToResult); first-found candidate = min existing_id
+  SELECT * FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY new_id ORDER BY existing_id) AS irn
+    FROM cls c WHERE relation = 'IDENTICAL'
+  ) WHERE irn = 1
+),
+ident_m AS (
+  SELECT e.prop_id AS e_id, i.prop_id AS i_id,
+         round(least(e.confidence + 0.3 * i.confidence, 0.99), 6) AS confidence
+  FROM ident_one c
+  JOIN rest_ex e ON e.prop_id = c.existing_id
+  JOIN rest_inc i ON i.prop_id = c.new_id
+),
 reinforced AS (
   SELECT e.prop_id AS e_id, i.prop_id AS i_id,
          round(least(e.confidence + 0.1 * i.confidence, 0.95), 6) AS confidence
@@ -1093,21 +1108,28 @@ reinforced AS (
   JOIN rest_ex e ON e.prop_id = c.existing_id
   JOIN rest_inc i ON i.prop_id = c.new_id
   WHERE c.relation = 'SIMILAR' AND c.similarity >= 0.7
+    AND c.new_id NOT IN (SELECT new_id FROM ident_one)
 ),
 contradicted AS (
   SELECT e.prop_id AS e_id,
          round(greatest(e.confidence * 0.3, 0.05), 6) AS confidence
   FROM cls c JOIN rest_ex e ON e.prop_id = c.existing_id
   WHERE c.relation = 'CONTRADICTORY'
+    AND c.new_id NOT IN (SELECT new_id FROM ident_one)
 ),
 touched AS (
   SELECT e_id AS prop_id FROM reinforced UNION SELECT e_id FROM contradicted
+  UNION SELECT e_id FROM ident_m
 ),
 unchanged AS (SELECT * FROM rest_ex ANTI JOIN touched USING (prop_id)),
-consumed AS (SELECT DISTINCT i_id AS prop_id FROM reinforced),
+consumed AS (
+  SELECT DISTINCT i_id AS prop_id FROM reinforced
+  UNION SELECT i_id FROM ident_m
+),
 new_rows AS (SELECT * FROM rest_inc ANTI JOIN consumed USING (prop_id)),
 outcomes AS (
   SELECT 'MERGED' AS revision_outcome, confidence FROM merged
+  UNION ALL SELECT 'MERGED', confidence FROM ident_m
   UNION ALL SELECT 'REINFORCED', confidence FROM reinforced
   UNION ALL SELECT 'CONTRADICTED', confidence FROM contradicted
   UNION ALL SELECT 'UNCHANGED', confidence FROM unchanged

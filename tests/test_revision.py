@@ -154,3 +154,33 @@ def test_revise_batch_vector_fast_path_reinforces(spark):
         existing, incoming, mentions_e, mentions_i, use_vector_fast_path=True
     ).collect()}
     assert out["p1"]["revision_outcome"] == "REINFORCED"
+
+
+def test_identical_classification_merges(spark):
+    """A classifier-IDENTICAL pair with DIFFERENT canonical text (word-order
+    permutation: same token set, different sequence) merges with the merge
+    arithmetic and consumes the incoming prop — classifiedToResult's
+    identical-first branch (LlmPropositionReviser.kt:478-509). Identical
+    outranks similar for the same new prop."""
+    existing = _props(spark, [
+        ("p1", "c", "Alice works with Bob.", 0.8, 0.5, False, "ACTIVE", 0, ["g1"]),
+        ("p2", "c", "Alice works with Bob today.", 0.7, 0.5, False, "ACTIVE", 0, ["g2"]),
+    ])
+    incoming = _props(spark, [
+        ("n1", "c", "Bob works with Alice.", 0.6, 0.9, False, "ACTIVE", 0, ["g3"]),
+    ])
+    pairs = spark.createDataFrame(
+        [
+            ("p1", "n1", "IDENTICAL", 1.0),
+            ("p2", "n1", "SIMILAR", 0.8),
+        ],
+        "existing_id string, new_id string, relation string, similarity double",
+    )
+    out = {r["prop_id"]: r for r in revise(existing, incoming, pairs).collect()}
+    assert set(out) == {"p1", "p2"}  # n1 consumed, never NEW
+    assert out["p1"]["revision_outcome"] == "MERGED"
+    assert out["p1"]["confidence"] == round(min(0.8 + 0.3 * 0.6, 0.99), 6)
+    assert out["p1"]["reinforce_count"] == 1
+    assert sorted(out["p1"]["grounding"]) == ["g1", "g3"]
+    # the SIMILAR pair for the same new prop is outranked -> p2 untouched
+    assert out["p2"]["revision_outcome"] == "UNCHANGED"
