@@ -88,3 +88,23 @@ def test_canonicalize_schema_veto_excludes_closed_types(spark):
     entities, mapping = canonicalize_mentions(mentions, "c1", schema=schema)
     assert {r.entity_type for r in entities.collect()} == {"Person"}
     assert {r.type_key for r in mapping.collect()} == {"person"}
+
+
+def test_cc_long_chain_converges_within_log_iterations(spark):
+    """A 2048-node chain (diameter 2047) must converge via the pointer-jumping
+    (path-halving) step in ~log2(n) rounds — well under max_iter=25. Plain
+    min-label propagation alone would need 2047 rounds and raise."""
+    from pyspark.sql import functions as F
+
+    from dice_spark.operators.canonicalize import connected_components
+
+    n = 2048
+    nodes = spark.range(n).select(F.format_string("n%05d", "id").alias("node_id"))
+    edges = spark.range(n - 1).select(
+        F.format_string("n%05d", "id").alias("a"),
+        F.format_string("n%05d", F.col("id") + 1).alias("b"),
+    )
+    comps = connected_components(nodes, edges, max_iter=25, num_partitions=4)
+    rows = comps.collect()
+    assert len(rows) == n
+    assert {r["component"] for r in rows} == {"n00000"}
