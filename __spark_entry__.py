@@ -229,6 +229,33 @@ def q_grounding_wiring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grounding_edges(props, nodes)["edges"]
 
 
+def q_why_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphQuery.whyExplain (GraphQuery.kt:139-141,255-271): lineage from
+    durable fields — provenance locator keys, authority tier, trust — for
+    the ten lexicographically smallest propositions (point lookups stay
+    deterministic under the oracle hash)."""
+    from dice_spark.operators.provenance import with_provenance_metadata
+
+    chunks = assemble_windows(_transcripts(spark, sf_dir))
+    props = with_provenance_metadata(
+        triples_to_propositions(extract_triples_udf(split_turns(chunks)), CTX),
+        chunks,
+        hash_col="content_hash",
+    )
+    # orderBy+limit plans as TakeOrderedAndProject — no global sort/window.
+    return (
+        props.orderBy("prop_id")
+        .limit(10)
+        .select(
+            "prop_id", "text",
+            F.array_join("grounding", ",").alias("grounding_keys"),
+            F.array_join("provenance", ",").alias("provenance_keys"),
+            "authority_tier", "trust_score", "reinforce_count", "status",
+            "confidence", "decay",
+        )
+    )
+
+
 def q_path_between(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GraphQuery.pathBetween (GraphQuery.kt:118-130,218-253): the single BFS
     shortest path between the lexicographically smallest and largest graph
@@ -985,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "structured_report": q_structured_report,
         "graph_neighborhood": q_graph_neighborhood,
         "path_between": q_path_between,
+        "why_explain": q_why_explain,
         "gate_decisions": q_gate_decisions,
         "prop_dup_clusters": q_prop_dup_clusters,
         "memory_consolidation": q_memory_consolidation,
@@ -1031,6 +1059,7 @@ def oracle_sql() -> dict[str, str]:
         "structured_report": oracle.q_structured_report(),
         "graph_neighborhood": oracle.q_graph_neighborhood(),
         "path_between": oracle.q_path_between(),
+        "why_explain": oracle.q_why_explain(),
         "gate_decisions": oracle.q_gate_decisions(),
         "prop_dup_clusters": oracle.q_prop_dup_clusters(use_lsh=True),
         "memory_consolidation": oracle.q_memory_consolidation(use_lsh=True),

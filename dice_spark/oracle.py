@@ -747,6 +747,44 @@ FROM trail
 """
 
 
+def q_why_explain() -> str:
+    """whyExplain oracle: durable lineage fields for the ten smallest
+    prop_ids — capped grounding ids, content-addressed provenance, strongest
+    authority tier, authority-weighted trust."""
+    ordinal = (
+        "coalesce(list_min(list_transform(prov_list, k -> "
+        "case when starts_with(k, 'connector:') then 0 "
+        "when starts_with(k, 'uri:') then 1 "
+        "when starts_with(k, 'file:') then 1 "
+        "when starts_with(k, 'content:') then 2 else 3 end)), 3)"
+    )
+    return base_ctes() + f""",
+wprov AS (
+  SELECT r.sentence,
+         list_sort(list(DISTINCT r.chunk_id)) AS g_list,
+         list_sort(list(DISTINCT 'content:' || sha256(c.text))) AS prov_list
+  FROM (
+    SELECT t.sentence, t.chunk_id,
+           row_number() OVER (PARTITION BY t.sentence ORDER BY t.chunk_id) AS rn
+    FROM typed_triples t
+  ) r
+  JOIN chunks c
+    ON (c.conv_id || ':' || cast(c.window_start as varchar) || ':' ||
+        cast(c.window_end as varchar)) = r.chunk_id
+  WHERE r.rn <= 100
+  GROUP BY r.sentence
+)
+SELECT p.prop_id, p.text,
+       array_to_string(v.g_list, ',') AS grounding_keys,
+       array_to_string(v.prov_list, ',') AS provenance_keys,
+       (['PRIMARY','SECONDARY','DERIVED','UNKNOWN'])[{ordinal} + 1] AS authority_tier,
+       cast(([0.9, 0.75, 0.6, 0.5])[{ordinal} + 1] as double) AS trust_score,
+       p.reinforce_count, 'ACTIVE' AS status, p.confidence, p.decay
+FROM propositions p JOIN wprov v ON v.sentence = p.text
+QUALIFY row_number() OVER (ORDER BY p.prop_id) <= 10
+"""
+
+
 def q_gate_decisions(
     as_of_epoch: int = 1786924800,
     content_revised_epoch: int = 1780272000,
