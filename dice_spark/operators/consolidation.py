@@ -26,7 +26,7 @@ one level-1 proposition — a real model replaces ``_abstract_text`` only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from dice_spark.functions.decay import effective_confidence
@@ -34,6 +34,13 @@ from dice_spark.functions.decay import effective_confidence
 ABSTRACTION_THRESHOLD = 5
 ABSTRACTION_TARGET_COUNT = 3
 MAX_LEVEL = 3
+# Per-group id arrays are capped (rank-before-collect, the exact_dedup
+# MAX_GROUP_IDS pattern, dedup.py:29): the group key is a resolved entity and
+# Zipf-head entities ("the user") mention nearly every proposition — an
+# unbounded collect_set would put the head entity's entire proposition set in
+# one array cell at 100x scale. Counts/min/max/avg stay exact (computed as
+# scalar aggregates, never from the capped array).
+MAX_SOURCE_IDS = 100
 
 
 def abstraction_pass(
@@ -109,11 +116,31 @@ def abstraction_pass(
     detail = eligible.join(
         level0.select("prop_id", "text", "confidence", "decay"), "prop_id"
     )
+    # Rank BEFORE collect so no agg buffer ever holds an unbounded array:
+    # the smallest MAX_SOURCE_IDS prop_ids survive into source_ids, the
+    # lexicographically-first target_count texts into the summary. Both
+    # window specs share the partition key -> one shuffle, two sorts.
+    w_id = Window.partitionBy("resolved_id").orderBy("prop_id")
+    w_txt = Window.partitionBy("resolved_id").orderBy("text", "prop_id")
+    detail = detail.withColumn("_id_rank", F.row_number().over(w_id)).withColumn(
+        "_txt_rank", F.row_number().over(w_txt)
+    )
     abstractions = (
         detail.groupBy("resolved_id")
         .agg(
-            F.array_sort(F.collect_set("prop_id")).alias("source_ids"),
-            F.slice(F.array_sort(F.collect_list("text")), 1, target_count).alias("_texts"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_id_rank") <= MAX_SOURCE_IDS, F.col("prop_id"))
+                )
+            ).alias("source_ids"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("_txt_rank") <= target_count, F.col("text"))
+                )
+            ).alias("_texts"),
+            F.count(F.lit(1)).alias("_n_members"),
+            F.min("prop_id").alias("_min_id"),
+            F.max("prop_id").alias("_max_id"),
             F.round(F.avg("confidence"), 6).alias("confidence"),
             F.round(F.avg("decay"), 6).alias("decay"),
         )
@@ -123,12 +150,20 @@ def abstraction_pass(
             # only) re-abstracts, and the new row must NOT collide with the
             # stale one — the reference's abstractor mints fresh ids per run
             # (AbstractionPass.kt:104 "abstractions all carry fresh ids").
+            # The digest covers (n_members, min, max, capped ids): any
+            # membership change moves at least one of those, while an
+            # UNCHANGED mega-group (> MAX_SOURCE_IDS members, which the
+            # coverage guard below cannot see) re-mints the SAME id, so the
+            # warehouse MERGE keeps re-abstraction idempotent.
             F.md5(
                 F.concat_ws(
                     "|",
                     F.lit(context_id),
                     F.lit("abs"),
                     F.col("resolved_id"),
+                    F.col("_n_members").cast("string"),
+                    F.col("_min_id"),
+                    F.col("_max_id"),
                     F.array_join("source_ids", ","),
                 )
             ).alias("prop_id"),

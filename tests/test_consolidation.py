@@ -236,3 +236,41 @@ def test_abstraction_cycles_reaches_level_two(spark):
         for r in out["counters"].collect()
     }
     assert counts[(1, "ABSTRACTED")] == 1 and counts[(2, "ABSTRACTED")] == 1
+
+
+def test_abstraction_zipf_head_group_is_capped(spark):
+    """A hot entity with 10^5 members must not materialize an unbounded
+    per-group array: source_ids is capped at MAX_SOURCE_IDS (smallest ids,
+    rank-before-collect) while n-member-exact aggregates (confidence avg,
+    SUPERSEDED count) stay correct."""
+    from pyspark.sql import functions as F
+
+    from dice_spark.operators.consolidation import MAX_SOURCE_IDS
+
+    n = 100_000
+    props = (
+        spark.range(n)
+        .select(
+            F.format_string("p%06d", F.col("id")).alias("prop_id"),
+            F.lit("c").alias("context_id"),
+            F.format_string("fact %d about the user", F.col("id")).alias("text"),
+            F.lit(0.8).alias("confidence"),
+            F.lit(0.1).alias("decay"),
+            F.lit(False).alias("pinned"),
+            F.lit("ACTIVE").alias("status"),
+            F.lit(0).alias("level"),
+            F.array().cast("array<string>").alias("source_ids"),
+        )
+    )
+    pe = props.select("prop_id", F.lit("the-user").alias("resolved_id"))
+    out = abstraction_pass(props, pe, "c")
+    abs_rows = out.filter(F.col("consolidation_outcome") == "ABSTRACTED").collect()
+    assert len(abs_rows) == 1
+    assert len(abs_rows[0]["source_ids"]) == MAX_SOURCE_IDS
+    assert abs_rows[0]["source_ids"][0] == "p000000"
+    assert abs_rows[0]["confidence"] == 0.8
+    counts = {
+        r["consolidation_outcome"]: r["n"]
+        for r in out.groupBy("consolidation_outcome").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts["SUPERSEDED"] == n
