@@ -141,6 +141,7 @@ def resolve_against_entities(
     bakeoff_scorer=None,
     vector_bucket_planes: int | None = 4,
     schema: DataFrame | None = None,
+    debug_timings: dict | None = None,
 ) -> DataFrame:
     """Resolve mention surface forms against an existing entity registry.
 
@@ -157,24 +158,70 @@ def resolve_against_entities(
     default: the reference only adds this searcher when an embedding
     repository is configured.
     """
+    def _mat(name: str, df: DataFrame) -> DataFrame:
+        # Per-tier attribution hook: eager-materialize each tier and record
+        # its wall time. Off (identity) unless the caller passes a dict —
+        # production plans stay fully lazy/fused.
+        if debug_timings is None:
+            return df
+        import time as _time
+
+        t0 = _time.monotonic()
+        out = df.localCheckpoint(eager=True)
+        debug_timings[name] = round(_time.monotonic() - t0, 2)
+        return out
+
     m_all = prepare_mentions(mentions).alias("m")
-    m = m_all
+    # The ladder resolves per surface form: one working row per (span,
+    # type_key). Duplicate mention occurrences must not inflate a tier's
+    # exactly-one candidate count (two occurrences of "Alice" each joining
+    # the single registry row would read as two candidates and wrongly
+    # reject). Occurrence-level columns collapse deterministically: a key
+    # whose occurrences disagree on suggested_id is ambiguous -> null (it
+    # falls through to the name ladder — the exactly-one rule applied to
+    # BY_ID); source_text takes the min (any occurrence's context serves the
+    # bakeoff compressor). The final join fans the per-key resolution back
+    # out to every original occurrence row.
+    key_cols = ["span", "type_key", "norm_name", "norm_key"]
+    aggs = []
+    if "suggested_id" in mentions.columns:
+        aggs.append(
+            F.when(
+                F.count_distinct("suggested_id") == 1, F.max("suggested_id")
+            ).alias("suggested_id")
+        )
+    if "source_text" in mentions.columns:
+        aggs.append(F.min("source_text").alias("source_text"))
+    if aggs:
+        m = m_all.groupBy(*key_cols).agg(*aggs)
+    else:
+        m = m_all.select(*key_cols).distinct()
+    # Every tier (and each tier's unresolved anti-join chain) re-reads this
+    # relation; materialize the dedupe once — it is one slim row per distinct
+    # surface form, vocabulary-sized. Eager: the tiers join it against
+    # relations derived from the same ancestors (AQE zip-partition trap).
+    m = m.localCheckpoint(eager=True).alias("m")
     # BY_ID: the extractor's suggested id, verified against the registry
     # (ByIdCandidateSearcher — cheapest tier, runs before any name match).
     # A suggested id absent from the registry is NOT a resolution; the
-    # mention falls through to the name ladder like any other.
+    # mention falls through to the name ladder like any other. The
+    # exactly-one rule applies here like every tier: a mention key carrying
+    # two different registry-valid suggested ids is ambiguous — it falls
+    # through instead of fanning out duplicate resolutions in the final join
+    # (EscalatingEntityResolver's single-candidate acceptance).
     by_id = None
     if "suggested_id" in mentions.columns:
-        by_id = (
+        by_id = _mat("BY_ID", _exactly_one(
             m.filter(F.col("m.suggested_id").isNotNull())
             .join(
                 entities.select(F.col("entity_id")),
                 F.col("m.suggested_id") == F.col("entity_id"),
             )
             .select("span", "type_key", "entity_id")
-            .distinct()
-            .withColumn("resolution_level", F.lit("BY_ID"))
-        )
+            .distinct(),
+            ["span", "type_key"],
+            "BY_ID",
+        ))
         m = m.join(
             by_id.select("span", "type_key").distinct(), ["span", "type_key"], "left_anti"
         ).alias("m")
@@ -191,7 +238,7 @@ def resolve_against_entities(
     # replicated S ways so the join key (name, salt) spreads hot names.
     msalt = F.pmod(F.xxhash64("m.span", F.col("m.norm_key")), F.lit(salt))
     esalt_df = ents.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
-    exact = _exactly_one(
+    exact = _mat("EXACT", _exactly_one(
         m.join(
             esalt_df.alias("e"),
             (F.lower(F.col("m.span")) == F.lower(F.col("e.e_name")))
@@ -200,12 +247,12 @@ def resolve_against_entities(
         ),
         mention_keys,
         "EXACT",
-    )
+    ))
 
     unresolved_1 = m.join(
         exact.select("span", "type_key").distinct(), ["span", "type_key"], "left_anti"
     ).alias("m")
-    normalized = _exactly_one(
+    normalized = _mat("NORMALIZED", _exactly_one(
         unresolved_1.join(
             ents,
             (F.col("m.norm_key") == F.col("e.e_norm_key"))
@@ -213,7 +260,7 @@ def resolve_against_entities(
         ),
         mention_keys,
         "NORMALIZED",
-    )
+    ))
 
     unresolved_2 = unresolved_1.join(
         normalized.select("span", "type_key").distinct(), ["span", "type_key"], "left_anti"
@@ -243,11 +290,11 @@ def resolve_against_entities(
         & (F.col("m.type_key") == F.col("e.e_type_key"))
         & (~F.col("e.e_norm_key").contains(" ")),
     ).drop("m_token")
-    partial = _exactly_one(
+    partial = _mat("PARTIAL", _exactly_one(
         partial_a.select("m.*", "e.entity_id").unionByName(partial_b.select("m.*", "e.entity_id")).distinct(),
         mention_keys,
         "PARTIAL",
-    )
+    ))
 
     unresolved_3 = unresolved_2.join(
         partial.select("span", "type_key").distinct(), ["span", "type_key"], "left_anti"
@@ -261,14 +308,14 @@ def resolve_against_entities(
         & (band(F.col("m.norm_key")) == band(F.col("e.e_norm_key"))),
     )
     min_len = F.least(F.length("m.norm_key"), F.length("e.e_norm_key"))
-    fuzzy = _exactly_one(
+    fuzzy = _mat("FUZZY", _exactly_one(
         fuzzy_pairs.filter(
             F.levenshtein(F.col("m.norm_key"), F.col("e.e_norm_key"))
             <= F.floor(min_len * MAX_DISTANCE_RATIO)
         ),
         mention_keys,
         "FUZZY",
-    )
+    ))
 
     resolved = (
         exact.select("span", "type_key", "entity_id", "resolution_level")
@@ -312,12 +359,26 @@ def resolve_against_entities(
             # stale partition count); the columnar cache has no such claim.
             .cache()
         )
-        auto = _exactly_one(
+        if debug_timings is not None:
+            import time as _time
+
+            t0 = _time.monotonic()
+            cand.count()  # populate the cache under the timer
+            debug_timings["VECTOR_candidates"] = round(_time.monotonic() - t0, 2)
+        # Materialize the two relations derived from the cached candidates (a
+        # few slim columns each) so the cache can be released below instead of
+        # pinning executor memory for the session's lifetime. Only THESE two
+        # read cand — checkpointing them (not the whole resolved union, which
+        # would serialize every name tier into an extra mid-plan job) keeps
+        # the cheap tiers lazy and fused into the final join. Eager, because
+        # a lazy checkpoint would re-open the AQE zip-partition trap.
+        auto = _mat("VECTOR_auto", _exactly_one(
             cand.filter(F.col("_cos") >= AUTO_ACCEPT_COSINE), mention_keys, "VECTOR"
-        ).drop("_cos")
-        resolved = resolved.unionByName(
-            auto.select("span", "type_key", "entity_id", "resolution_level")
-        )
+        ).drop("_cos"))
+        auto = auto.select(
+            "span", "type_key", "entity_id", "resolution_level"
+        ).localCheckpoint(eager=True)
+        resolved = resolved.unionByName(auto)
         # Everything else above the floor goes to the bakeoff seam. When the
         # mentions carry a source_text column, each pair also gets a
         # ``context`` column: the ContextCompressor output the reference
@@ -347,16 +408,12 @@ def resolve_against_entities(
         w = Window.partitionBy("span", "type_key").orderBy(
             F.desc("score"), F.asc("entity_id")
         )
-        best = (
+        best = _mat("BAKEOFF", (
             scored.withColumn("_rn", F.row_number().over(w))
             .filter((F.col("_rn") == 1) & (F.col("score") >= BAKEOFF_ACCEPT))
             .select("span", "type_key", "entity_id", F.lit("BAKEOFF").alias("resolution_level"))
-        )
-        # Materialize the vector-tier resolutions (a few slim columns) so the
-        # cached candidate relation can be released here instead of pinning
-        # executor memory for the session's lifetime; eager localCheckpoint
-        # avoids the AQE zip-partition trap that a lazy one would re-open.
-        resolved = resolved.unionByName(best).localCheckpoint(eager=True)
+        )).localCheckpoint(eager=True)
+        resolved = resolved.unionByName(best)
         cand.unpersist()
     if by_id is not None:
         resolved = resolved.unionByName(

@@ -135,3 +135,20 @@ def test_by_id_tier_runs_first_and_verifies(spark):
     assert got["The Maestro"] == ("BY_ID", "e2")
     assert got["Hunter Hordern"] == ("EXACT", "e1")
     assert got["Zelda Fitzgerald"][0] == "NO_MATCH"
+
+
+def test_by_id_ambiguous_suggestions_fall_through(spark):
+    """The exactly-one rule applies to BY_ID like every tier: one mention key
+    carrying two different registry-valid suggested ids is ambiguous — it
+    falls through to the name ladder (here resolving EXACT on its span)
+    instead of fanning out two resolution rows for a single mention."""
+    mentions = spark.createDataFrame(
+        [
+            ("Hunter Hordern", "Person", "e2"),
+            ("Hunter Hordern", "Person", "e3"),  # same key, conflicting id
+        ],
+        "span string, entity_type string, suggested_id string",
+    )
+    rows = resolve_against_entities(mentions, _entities(spark)).collect()
+    got = {(r["span"], r["resolution_level"], r["resolved_id"]) for r in rows}
+    assert got == {("Hunter Hordern", "EXACT", "e1")}
