@@ -578,6 +578,43 @@ def q_revision_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_temporal_revision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TemporalConflictDetector wired into revision (spi/ConflictDetector.kt:
+    96-130): the incoming batch re-states its employment facts negated ("is no
+    longer employed by"), so each CONTRADICTORY pair classifies by predicate +
+    recency — a newer-or-equal incoming on the evolving predicate supersedes
+    the existing fact cleanly (WORLD_PROGRESSION, confidence intact), while a
+    strictly-older incoming damages it (CONTRADICTED). Recency here is each
+    side's valid_from anchor (observed_at ?? valid_from ?? content_revised)."""
+    from dice_spark.operators.revision import revise_batch
+
+    last = F.substring("conv_id", -1, 1)
+    triples = _triples(spark, sf_dir).localCheckpoint(eager=False)
+
+    def props_of(side) -> DataFrame:
+        return triples_to_propositions(triples.filter(side), CTX).localCheckpoint(
+            eager=False
+        )
+
+    existing = props_of(last != "1")
+    incoming = props_of(last == "1").withColumn(
+        "text",
+        F.replace(
+            F.col("text"),
+            F.lit(" is employed by "),
+            F.lit(" is no longer employed by "),
+        ),
+    )
+    out = revise_batch(
+        existing,
+        incoming,
+        temporal_conflicts=True,
+        evolving_predicates={"is employed by"},
+    )
+    return out.groupBy("revision_outcome").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("confidence"), 6).alias("sum_conf")
+    )
+
 
 def q_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dream-loop AbstractionPass over the freshly-built store: level-0 ACTIVE
@@ -1018,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_consolidation": q_memory_consolidation,
         "linking_ladder": q_linking_ladder,
         "revision_outcomes": q_revision_outcomes,
+        "temporal_revision": q_temporal_revision,
         "consolidation": q_consolidation,
         "retrieval_vector": q_retrieval_vector,
         "retrieval_hybrid": q_retrieval_hybrid,
@@ -1065,6 +1103,7 @@ def oracle_sql() -> dict[str, str]:
         "memory_consolidation": oracle.q_memory_consolidation(use_lsh=True),
         "linking_ladder": oracle.q_linking_ladder(),
         "revision_outcomes": oracle.q_revision_outcomes(),
+        "temporal_revision": oracle.q_temporal_revision(),
         "consolidation": oracle.q_consolidation(),
         "retrieval_vector": oracle.q_retrieval_vector(),
         "retrieval_hybrid": oracle.q_retrieval_hybrid(),

@@ -33,6 +33,57 @@ from dice_spark.functions.textfns import canonicalize_text
 
 MIN_SIMILARITY_FOR_REINFORCE = 0.7
 
+# TemporalConflictDetector defaults (spi/ConflictDetector.kt:125-139):
+# lower-cased predicate names treated as time-evolving facts.
+DEFAULT_EVOLVING_PREDICATES = frozenset(
+    {"employer", "residence", "status", "role", "location", "title"}
+)
+CONTRADICTION = "CONTRADICTION"
+WORLD_PROGRESSION = "WORLD_PROGRESSION"
+
+
+def conflict_type_expr(
+    incoming_predicate,
+    existing_predicate,
+    incoming_recency,
+    existing_recency,
+    evolving_predicates=None,
+):
+    """TemporalConflictDetector.detect as a column expression
+    (spi/ConflictDetector.kt:96-130): CONTRADICTION unless the predicate —
+    incoming's, falling back to existing's (:99-103) — is a tracked evolving
+    fact AND the incoming proposition is not strictly older; equal recency is
+    deliberately WORLD_PROGRESSION (:106-112, neither strictly supersedes).
+
+    Recency is the caller's coalesce of observed_at ?? valid_from ??
+    content_revised (:124-127). Divergence from the reference, documented:
+    there contentRevised always exists so recency is total; our store may
+    carry no temporal anchor at all, and a NULL recency on either side
+    classifies conservatively as CONTRADICTION (the detector cannot establish
+    progression without an anchor).
+    """
+    evolving = sorted(
+        p.lower() for p in (evolving_predicates or DEFAULT_EVOLVING_PREDICATES)
+    )
+    pred = F.lower(F.coalesce(incoming_predicate, existing_predicate))
+    return (
+        F.when(pred.isNull() | ~pred.isin(evolving), CONTRADICTION)
+        .when(incoming_recency.isNull() | existing_recency.isNull(), CONTRADICTION)
+        .when(incoming_recency < existing_recency, CONTRADICTION)
+        .otherwise(WORLD_PROGRESSION)
+    )
+
+
+def _recency_of(alias: str, df: DataFrame):
+    """observed_at ?? valid_from ?? content_revised over whichever of those
+    columns ``df`` carries (ConflictDetector.kt:124-127); NULL when none."""
+    cols = [
+        F.col(f"{alias}.{c}")
+        for c in ("observed_at", "valid_from", "content_revised")
+        if c in df.columns
+    ]
+    return F.coalesce(*cols) if cols else F.lit(None).cast("timestamp")
+
 
 def merge_arithmetic(c_old, c_new, d_old):
     conf = F.least(c_old + F.lit(0.3) * c_new, F.lit(0.99))
@@ -52,7 +103,13 @@ def contradict_arithmetic(c_old, d_old):
     return conf, dec
 
 
-def revise(existing: DataFrame, incoming: DataFrame, classified_pairs: DataFrame | None = None) -> DataFrame:
+def revise(
+    existing: DataFrame,
+    incoming: DataFrame,
+    classified_pairs: DataFrame | None = None,
+    temporal_conflicts: bool = False,
+    evolving_predicates=None,
+) -> DataFrame:
     """Apply revision to the ``existing`` store given an ``incoming`` batch.
 
     existing/incoming: proposition rows (prop_id, context_id, text, confidence,
@@ -64,10 +121,36 @@ def revise(existing: DataFrame, incoming: DataFrame, classified_pairs: DataFrame
     (revision/PropositionReviser.kt:27-42). When None only the canonical-text
     fast path applies.
 
+    Multi-hit semantics: one existing proposition may be hit by several
+    incoming propositions in a batch; the reference applies revisions
+    sequentially per incoming. The merge/reinforce arithmetic folds exactly
+    (the caps are terminal: min(c + r*a + r*b, cap) equals the two-step
+    sequential result), so same-branch hits aggregate per existing prop_id —
+    conf' = min(c + r*Σc_new, cap), decay' = d*rate^n, reinforce_count + n,
+    groundings unioned (capped at MAX_GROUNDING smallest). Across branches
+    one deterministic winner survives per existing, in classifiedToResult
+    priority (LlmPropositionReviser.kt:478-509): identical-merge, then
+    contradiction, then reinforce — so the warehouse MERGE on prop_id never
+    sees duplicate keys.
+
+    temporal_conflicts=True wires the TemporalConflictDetector
+    (spi/ConflictDetector.kt:96-130) into the contradiction branch: a
+    CONTRADICTORY pair whose predicate is evolving and whose incoming side is
+    not strictly older is WORLD_PROGRESSION — the world moved on, so the
+    existing row retires to SUPERSEDED with its confidence/decay INTACT
+    (outcome WORLD_PROGRESSION) instead of taking contradiction damage; the
+    incoming row stays a NEW ACTIVE fact. If any pair against an existing is
+    a genuine CONTRADICTION it wins over progression (the detector's
+    conservative default). Pinned existings are immune either way (REVIEW).
+    In the reference the detector only labels RevisionResult.Contradicted
+    (LlmPropositionReviser.kt:540-548) — supersession is this engine's batch
+    consumption of that label. Default False = AlwaysContradictionDetector.
+
     Returns the revised store: updated existing rows + genuinely-new incoming
-    rows, plus a ``revision_outcome`` column
-    (MERGED|REINFORCED|CONTRADICTED|NEW|UNCHANGED|REVIEW).
+    rows, plus a ``revision_outcome`` column (MERGED|REINFORCED|CONTRADICTED|
+    WORLD_PROGRESSION|NEW|UNCHANGED|REVIEW).
     """
+    from dice_spark.operators.extraction import MAX_GROUNDING
     ex = existing.withColumn("canon", canonicalize_text("text")).alias("ex")
     # In-batch canonical dedup first (reviseAll step 1, :240-250).
     inc = (
@@ -126,23 +209,49 @@ def revise(existing: DataFrame, incoming: DataFrame, classified_pairs: DataFrame
         im = rest_ex.join(ident_one, F.col("ex.prop_id") == F.col("cls.existing_id")).join(
             rest_inc, F.col("inc.prop_id") == F.col("cls.new_id")
         )
-        i_conf, i_dec = merge_arithmetic(
-            F.col("ex.confidence"), F.col("inc.confidence"), F.col("ex.decay")
-        )
-        ident_rows = im.select(
-            F.col("ex.prop_id").alias("prop_id"),
-            F.col("ex.context_id").alias("context_id"),
-            F.col("ex.text").alias("text"),
-            F.round(i_conf, 6).alias("confidence"),
-            F.round(i_dec, 6).alias("decay"),
-            F.col("ex.pinned").alias("pinned"),
-            F.col("ex.status").alias("status"),
-            (F.col("ex.reinforce_count") + 1).alias("reinforce_count"),
-            F.array_sort(
-                F.array_distinct(F.array_union(F.col("ex.grounding"), F.col("inc.grounding")))
-            ).alias("grounding"),
-            F.lit("MERGED").alias("revision_outcome"),
-        )
+
+        def _fold(joined, rate: float, cap: float, decay_rate: float, outcome: str, rank: int):
+            # Same-branch multi-hit fold per existing prop_id — exactly the
+            # sequential reference arithmetic (caps are terminal, see
+            # docstring). _rank/_hit drive the cross-branch collapse below.
+            g = joined.groupBy(F.col("ex.prop_id").alias("prop_id")).agg(
+                F.first("ex.context_id").alias("context_id"),
+                F.first("ex.text").alias("text"),
+                F.first("ex.confidence").alias("_c"),
+                F.first("ex.decay").alias("_d"),
+                F.first("ex.pinned").alias("pinned"),
+                F.first("ex.status").alias("status"),
+                F.first("ex.reinforce_count").alias("_rc"),
+                F.first("ex.grounding").alias("_g_ex"),
+                F.sum("inc.confidence").alias("_c_sum"),
+                F.count(F.lit(1)).alias("_n"),
+                F.min("inc.prop_id").alias("_hit"),
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list("inc.grounding")))
+                ).alias("_g_inc"),
+            )
+            conf = F.least(F.col("_c") + F.lit(rate) * F.col("_c_sum"), F.lit(cap))
+            dec = F.greatest(F.col("_d") * F.pow(F.lit(decay_rate), F.col("_n")), F.lit(0.0))
+            return g.select(
+                "prop_id",
+                "context_id",
+                "text",
+                F.round(conf, 6).alias("confidence"),
+                F.round(dec, 6).alias("decay"),
+                "pinned",
+                "status",
+                (F.col("_rc") + F.col("_n")).cast("int").alias("reinforce_count"),
+                F.slice(
+                    F.array_sort(F.array_distinct(F.array_union("_g_ex", "_g_inc"))),
+                    1,
+                    MAX_GROUNDING,
+                ).alias("grounding"),
+                F.lit(outcome).alias("revision_outcome"),
+                F.lit(rank).alias("_rank"),
+                F.col("_hit"),
+            )
+
+        ident_rows = _fold(im, 0.3, 0.99, 0.7, "MERGED", rank=1)
         # SIMILAR below the floor is treated UNRELATED (:85,487-501).
         reinforce = cls.filter(
             (F.col("relation") == "SIMILAR") & (F.col("similarity") >= MIN_SIMILARITY_FOR_REINFORCE)
@@ -154,57 +263,113 @@ def revise(existing: DataFrame, incoming: DataFrame, classified_pairs: DataFrame
         r = rest_ex.join(reinforce, F.col("ex.prop_id") == F.col("cls.existing_id")).join(
             rest_inc, F.col("inc.prop_id") == F.col("cls.new_id")
         )
-        r_conf, r_dec = reinforce_arithmetic(F.col("ex.confidence"), F.col("inc.confidence"), F.col("ex.decay"))
-        reinforced_rows = r.select(
-            F.col("ex.prop_id").alias("prop_id"),
-            F.col("ex.context_id").alias("context_id"),
-            F.col("ex.text").alias("text"),
-            F.round(r_conf, 6).alias("confidence"),
-            F.round(r_dec, 6).alias("decay"),
-            F.col("ex.pinned").alias("pinned"),
-            F.col("ex.status").alias("status"),
-            (F.col("ex.reinforce_count") + 1).alias("reinforce_count"),
-            F.array_sort(F.array_distinct(F.array_union(F.col("ex.grounding"), F.col("inc.grounding")))).alias("grounding"),
-            F.lit("REINFORCED").alias("revision_outcome"),
-        )
+        reinforced_rows = _fold(r, 0.1, 0.95, 0.85, "REINFORCED", rank=3)
 
         c = rest_ex.join(contradict, F.col("ex.prop_id") == F.col("cls.existing_id"))
-        c_conf, c_dec = contradict_arithmetic(F.col("ex.confidence"), F.col("ex.decay"))
-        contradicted_rows = c.filter(~F.col("ex.pinned")).select(
-            F.col("ex.prop_id").alias("prop_id"),
-            F.col("ex.context_id").alias("context_id"),
-            F.col("ex.text").alias("text"),
+        if temporal_conflicts:
+            inc_pred = (
+                F.col("inc.predicate")
+                if "predicate" in incoming.columns
+                else F.lit(None).cast("string")
+            )
+            # From the full deduped batch, not rest_inc: contradiction pairs
+            # are not filtered to post-merge survivors (mirroring the oracle),
+            # so their metadata must not vanish when the new prop merged.
+            inc_meta = inc.select(
+                F.col("inc.prop_id").alias("_mi_new_id"),
+                inc_pred.alias("_inc_pred"),
+                _recency_of("inc", incoming).alias("_inc_rec"),
+            )
+            ex_pred = (
+                F.col("ex.predicate")
+                if "predicate" in existing.columns
+                else F.lit(None).cast("string")
+            )
+            ctype = conflict_type_expr(
+                F.col("_inc_pred"),
+                ex_pred,
+                F.col("_inc_rec"),
+                _recency_of("ex", existing),
+                evolving_predicates,
+            )
+            c = c.join(inc_meta, F.col("cls.new_id") == F.col("_mi_new_id"), "left")
+        else:
+            ctype = F.lit(CONTRADICTION)
+        # Per existing: ANY genuinely contradictory pair wins over progression
+        # (conservative, like the detector's default); all-WP retires cleanly.
+        cg = c.withColumn("_ctype", ctype).groupBy(
+            F.col("ex.prop_id").alias("prop_id")
+        ).agg(
+            F.first("ex.context_id").alias("context_id"),
+            F.first("ex.text").alias("text"),
+            F.first("ex.confidence").alias("_c"),
+            F.first("ex.decay").alias("_d"),
+            F.first("ex.pinned").alias("pinned"),
+            F.first("ex.status").alias("_status"),
+            F.first("ex.reinforce_count").alias("reinforce_count"),
+            F.first("ex.grounding").alias("grounding"),
+            F.max((F.col("_ctype") == CONTRADICTION).cast("int")).alias("_any_contra"),
+            F.min(F.col("cls.new_id")).alias("_hit"),
+        )
+        c_conf, c_dec = contradict_arithmetic(F.col("_c"), F.col("_d"))
+        common = ["prop_id", "context_id", "text"]
+        tail = ["pinned", "reinforce_count", "grounding"]
+        contradicted_rows = cg.filter(~F.col("pinned") & (F.col("_any_contra") == 1)).select(
+            *common,
             F.round(c_conf, 6).alias("confidence"),
             F.round(c_dec, 6).alias("decay"),
-            F.col("ex.pinned").alias("pinned"),
+            *tail[:1],
             F.lit("CONTRADICTED").alias("status"),
-            F.col("ex.reinforce_count").alias("reinforce_count"),
-            F.col("ex.grounding").alias("grounding"),
+            *tail[1:],
             F.lit("CONTRADICTED").alias("revision_outcome"),
+            F.lit(2).alias("_rank"),
+            F.col("_hit"),
+        )
+        # World progression: the existing fact was true and the world moved
+        # on — retire it SUPERSEDED with confidence/decay intact.
+        wp_rows = cg.filter(~F.col("pinned") & (F.col("_any_contra") == 0)).select(
+            *common,
+            F.col("_c").alias("confidence"),
+            F.col("_d").alias("decay"),
+            *tail[:1],
+            F.lit("SUPERSEDED").alias("status"),
+            *tail[1:],
+            F.lit(WORLD_PROGRESSION).alias("revision_outcome"),
+            F.lit(2).alias("_rank"),
+            F.col("_hit"),
         )
         # Pinned originals stay intact, flagged for review (:536-550).
-        review_rows = c.filter(F.col("ex.pinned")).select(
-            F.col("ex.prop_id").alias("prop_id"),
-            F.col("ex.context_id").alias("context_id"),
-            F.col("ex.text").alias("text"),
-            F.col("ex.confidence").alias("confidence"),
-            F.col("ex.decay").alias("decay"),
-            F.col("ex.pinned").alias("pinned"),
-            F.col("ex.status").alias("status"),
-            F.col("ex.reinforce_count").alias("reinforce_count"),
-            F.col("ex.grounding").alias("grounding"),
+        review_rows = cg.filter(F.col("pinned")).select(
+            *common,
+            F.col("_c").alias("confidence"),
+            F.col("_d").alias("decay"),
+            *tail[:1],
+            F.col("_status").alias("status"),
+            *tail[1:],
             F.lit("REVIEW").alias("revision_outcome"),
+            F.lit(2).alias("_rank"),
+            F.col("_hit"),
         )
-        touched = (
-            reinforced_rows.select("prop_id")
-            .unionByName(contradicted_rows.select("prop_id"))
-            .unionByName(review_rows.select("prop_id"))
-            .unionByName(ident_rows.select("prop_id"))
+        hit = (
+            ident_rows.unionByName(contradicted_rows)
+            .unionByName(wp_rows)
+            .unionByName(review_rows)
+            .unionByName(reinforced_rows)
         )
+        # Cross-branch collapse: exactly one surviving revision per existing
+        # prop_id, in classifiedToResult priority (identical-merge >
+        # contradiction > reinforce), min incoming id as the tiebreak.
+        w_hit = Window.partitionBy("prop_id").orderBy("_rank", "_hit")
+        hit_one = (
+            hit.withColumn("_rn", F.row_number().over(w_hit))
+            .filter(F.col("_rn") == 1)
+            .drop("_rank", "_hit", "_rn")
+        )
+        touched = hit.select("prop_id")
         consumed_inc = r.select(F.col("inc.prop_id").alias("prop_id")).unionByName(
             im.select(F.col("inc.prop_id").alias("prop_id"))
         )
-        extra = [ident_rows, reinforced_rows, contradicted_rows, review_rows]
+        extra = [hit_one]
     else:
         touched = merged_ex_ids.limit(0)
         consumed_inc = merged_inc_ids.limit(0)
@@ -317,6 +482,8 @@ def revise_batch(
     mentions_incoming: DataFrame | None = None,
     classifier=None,
     use_vector_fast_path: bool = False,
+    temporal_conflicts: bool = False,
+    evolving_predicates=None,
 ) -> DataFrame:
     """The full revision stage: candidates -> classify seam -> revise.
 
@@ -353,7 +520,13 @@ def revise_batch(
         )
     else:
         classified = classifier(with_text)
-    return revise(existing, incoming, classified)
+    return revise(
+        existing,
+        incoming,
+        classified,
+        temporal_conflicts=temporal_conflicts,
+        evolving_predicates=evolving_predicates,
+    )
 
 
 def entity_overlap_prefilter(candidate_pairs: DataFrame, mentions_a: DataFrame, mentions_b: DataFrame) -> DataFrame:

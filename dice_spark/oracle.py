@@ -1132,44 +1132,229 @@ ident_one AS (
     FROM cls c WHERE relation = 'IDENTICAL'
   ) WHERE irn = 1
 ),
-ident_m AS (
-  SELECT e.prop_id AS e_id, i.prop_id AS i_id,
-         round(least(e.confidence + 0.3 * i.confidence, 0.99), 6) AS confidence
+-- same-branch multi-hit fold per existing (sequential arithmetic folds
+-- exactly: caps are terminal), mirroring revision.revise _fold
+ident_pairs AS (
+  SELECT c.existing_id, c.new_id, i.confidence AS i_conf
   FROM ident_one c
   JOIN rest_ex e ON e.prop_id = c.existing_id
   JOIN rest_inc i ON i.prop_id = c.new_id
 ),
-reinforced AS (
-  SELECT e.prop_id AS e_id, i.prop_id AS i_id,
-         round(least(e.confidence + 0.1 * i.confidence, 0.95), 6) AS confidence
+ident_m AS (
+  SELECT p.existing_id AS e_id, min(p.new_id) AS hit,
+         round(least(any_value(e.confidence) + 0.3 * sum(p.i_conf), 0.99), 6) AS confidence
+  FROM ident_pairs p JOIN rest_ex e ON e.prop_id = p.existing_id
+  GROUP BY p.existing_id
+),
+reinforce_pairs AS (
+  SELECT c.existing_id, c.new_id, i.confidence AS i_conf
   FROM cls c
   JOIN rest_ex e ON e.prop_id = c.existing_id
   JOIN rest_inc i ON i.prop_id = c.new_id
   WHERE c.relation = 'SIMILAR' AND c.similarity >= 0.7
     AND c.new_id NOT IN (SELECT new_id FROM ident_one)
 ),
+reinforced AS (
+  SELECT p.existing_id AS e_id, min(p.new_id) AS hit,
+         round(least(any_value(e.confidence) + 0.1 * sum(p.i_conf), 0.95), 6) AS confidence
+  FROM reinforce_pairs p JOIN rest_ex e ON e.prop_id = p.existing_id
+  GROUP BY p.existing_id
+),
 contradicted AS (
-  SELECT e.prop_id AS e_id,
-         round(greatest(e.confidence * 0.3, 0.05), 6) AS confidence
+  SELECT e.prop_id AS e_id, min(c.new_id) AS hit,
+         round(greatest(any_value(e.confidence) * 0.3, 0.05), 6) AS confidence
   FROM cls c JOIN rest_ex e ON e.prop_id = c.existing_id
   WHERE c.relation = 'CONTRADICTORY'
     AND c.new_id NOT IN (SELECT new_id FROM ident_one)
+  GROUP BY e.prop_id
 ),
-touched AS (
-  SELECT e_id AS prop_id FROM reinforced UNION SELECT e_id FROM contradicted
-  UNION SELECT e_id FROM ident_m
+-- cross-branch collapse: one revision per existing, classifiedToResult
+-- priority (identical-merge > contradiction > reinforce), min new_id tiebreak
+hits AS (
+  SELECT e_id, 1 AS rank, hit, confidence, 'MERGED' AS revision_outcome FROM ident_m
+  UNION ALL SELECT e_id, 2, hit, confidence, 'CONTRADICTED' FROM contradicted
+  UNION ALL SELECT e_id, 3, hit, confidence, 'REINFORCED' FROM reinforced
 ),
+hit_one AS (
+  SELECT * FROM (
+    SELECT h.*, row_number() OVER (PARTITION BY e_id ORDER BY rank, hit) AS hrn
+    FROM hits h
+  ) WHERE hrn = 1
+),
+touched AS (SELECT DISTINCT e_id AS prop_id FROM hits),
 unchanged AS (SELECT * FROM rest_ex ANTI JOIN touched USING (prop_id)),
 consumed AS (
-  SELECT DISTINCT i_id AS prop_id FROM reinforced
-  UNION SELECT i_id FROM ident_m
+  SELECT DISTINCT new_id AS prop_id FROM reinforce_pairs
+  UNION SELECT new_id FROM ident_pairs
 ),
 new_rows AS (SELECT * FROM rest_inc ANTI JOIN consumed USING (prop_id)),
 outcomes AS (
   SELECT 'MERGED' AS revision_outcome, confidence FROM merged
-  UNION ALL SELECT 'MERGED', confidence FROM ident_m
-  UNION ALL SELECT 'REINFORCED', confidence FROM reinforced
-  UNION ALL SELECT 'CONTRADICTED', confidence FROM contradicted
+  UNION ALL SELECT revision_outcome, confidence FROM hit_one
+  UNION ALL SELECT 'UNCHANGED', confidence FROM unchanged
+  UNION ALL SELECT 'NEW', confidence FROM new_rows
+)
+SELECT revision_outcome, count(*) AS n, round(sum(confidence), 6) AS sum_conf
+FROM outcomes GROUP BY 1
+"""
+
+
+def q_temporal_revision() -> str:
+    """TemporalConflictDetector oracle (mirror of revision.revise with
+    temporal_conflicts=True, spi/ConflictDetector.kt:96-130): the incoming
+    batch's employment facts are negated, every CONTRADICTORY pair classifies
+    by predicate + valid_from recency, and per existing prop ANY genuine
+    contradiction outranks progression; all-WP existing rows retire with
+    confidence intact."""
+    canon = duckdb_canonicalize_text_sql("text")
+    toks = (
+        "list_distinct(list_filter(str_split_regex("
+        "regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+'), t -> t <> ''))"
+    )
+    neg = "regexp_matches(lower(text), '\\b(not|never|no longer)\\b')"
+    h6 = "('0x' || substr(md5(sentence), 1, 6))::bigint"
+    return base_ctes() + f""",
+bprops AS MATERIALIZED (
+  SELECT case when substr(conv_id, -1, 1) = '1' then 1 else 0 end AS batch,
+         md5('{CTX}' || '|' || sentence) AS prop_id,
+         sentence AS text,
+         min(predicate) AS predicate,
+         min(subj_span) AS subj_span,
+         min(obj_span) AS obj_span,
+         round(least(min(confidence) * (1 + 0.3 * (count(*) - 1)), 0.99), 6) AS confidence,
+         round(min(decay) * pow(0.7, count(*) - 1), 6) AS decay,
+         count(*) - 1 AS reinforce_count,
+         CASE WHEN min(predicate) IN ('founded', 'is employed by')
+              THEN to_timestamp({TEMPORAL_BASE_EPOCH} + ({h6} % 365) * 86400)
+         END AS valid_from
+  FROM typed_triples GROUP BY 1, sentence
+),
+ex AS (SELECT *, {canon} AS canon, {toks} AS toks, {neg} AS neg FROM bprops WHERE batch = 0),
+-- incoming employment facts arrive negated: the world-progression stream
+inc_base AS (
+  SELECT * REPLACE (
+    replace(text, ' is employed by ', ' is no longer employed by ') AS text
+  ) FROM bprops WHERE batch = 1
+),
+inc_all AS (SELECT *, {canon} AS canon, {toks} AS toks, {neg} AS neg FROM inc_base),
+inc AS (
+  SELECT * FROM (
+    SELECT i.*, row_number() OVER (PARTITION BY canon ORDER BY prop_id) AS rn
+    FROM inc_all i
+  ) WHERE rn = 1
+),
+ments AS MATERIALIZED (
+  SELECT batch, prop_id, lower(subj_span) AS k FROM bprops
+  UNION ALL SELECT batch, prop_id, lower(obj_span) FROM bprops
+),
+pairs AS MATERIALIZED (
+  SELECT DISTINCT a.prop_id AS existing_id, b.prop_id AS new_id
+  FROM ments a JOIN ments b ON a.k = b.k AND a.batch = 0 AND b.batch = 1
+),
+cls AS (
+  SELECT existing_id, new_id,
+         case when sim >= 0.5 and neg_a <> neg_b then 'CONTRADICTORY'
+              when sim >= 0.999 then 'IDENTICAL'
+              when sim >= 0.5 then 'SIMILAR'
+              else 'UNRELATED' end AS relation,
+         round(sim, 6) AS similarity
+  FROM (
+    SELECT p.existing_id, p.new_id,
+           len(list_intersect(a.toks, b.toks))
+             / greatest(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)), 1)::double AS sim,
+           a.neg AS neg_a, b.neg AS neg_b
+    FROM pairs p
+    JOIN ex a ON a.prop_id = p.existing_id
+    JOIN inc_all b ON b.prop_id = p.new_id
+  )
+),
+merged AS (
+  SELECT e.prop_id AS e_id, i.prop_id AS i_id,
+         round(least(e.confidence + 0.3 * i.confidence, 0.99), 6) AS confidence
+  FROM ex e JOIN inc i ON e.canon = i.canon
+),
+rest_ex AS (SELECT * FROM ex ANTI JOIN (SELECT e_id AS prop_id FROM merged) USING (prop_id)),
+rest_inc AS (SELECT * FROM inc ANTI JOIN (SELECT i_id AS prop_id FROM merged) USING (prop_id)),
+ident_one AS (
+  SELECT * FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY new_id ORDER BY existing_id) AS irn
+    FROM cls c WHERE relation = 'IDENTICAL'
+  ) WHERE irn = 1
+),
+ident_pairs AS (
+  SELECT c.existing_id, c.new_id, i.confidence AS i_conf
+  FROM ident_one c
+  JOIN rest_ex e ON e.prop_id = c.existing_id
+  JOIN rest_inc i ON i.prop_id = c.new_id
+),
+ident_m AS (
+  SELECT p.existing_id AS e_id, min(p.new_id) AS hit,
+         round(least(any_value(e.confidence) + 0.3 * sum(p.i_conf), 0.99), 6) AS confidence
+  FROM ident_pairs p JOIN rest_ex e ON e.prop_id = p.existing_id
+  GROUP BY p.existing_id
+),
+reinforce_pairs AS (
+  SELECT c.existing_id, c.new_id, i.confidence AS i_conf
+  FROM cls c
+  JOIN rest_ex e ON e.prop_id = c.existing_id
+  JOIN rest_inc i ON i.prop_id = c.new_id
+  WHERE c.relation = 'SIMILAR' AND c.similarity >= 0.7
+    AND c.new_id NOT IN (SELECT new_id FROM ident_one)
+),
+reinforced AS (
+  SELECT p.existing_id AS e_id, min(p.new_id) AS hit,
+         round(least(any_value(e.confidence) + 0.1 * sum(p.i_conf), 0.95), 6) AS confidence
+  FROM reinforce_pairs p JOIN rest_ex e ON e.prop_id = p.existing_id
+  GROUP BY p.existing_id
+),
+-- conflict classification per CONTRADICTORY pair: incoming predicate
+-- (fallback existing), recency = valid_from (no observed_at/content_revised
+-- in this store); null anchors classify conservatively as CONTRADICTION.
+-- Incoming metadata comes from the post-dedup batch (inc) via LEFT join.
+contra_pairs AS (
+  SELECT e.prop_id AS e_id, c.new_id, e.confidence, e.decay,
+         case when lower(coalesce(i.predicate, e.predicate)) IS DISTINCT FROM 'is employed by'
+                THEN 'CONTRADICTION'
+              when i.valid_from IS NULL or e.valid_from IS NULL THEN 'CONTRADICTION'
+              when i.valid_from < e.valid_from THEN 'CONTRADICTION'
+              else 'WORLD_PROGRESSION' end AS ctype
+  FROM cls c
+  JOIN rest_ex e ON e.prop_id = c.existing_id
+  LEFT JOIN inc i ON i.prop_id = c.new_id
+  WHERE c.relation = 'CONTRADICTORY'
+    AND c.new_id NOT IN (SELECT new_id FROM ident_one)
+),
+contra_g AS (
+  SELECT e_id, min(new_id) AS hit, any_value(confidence) AS e_conf,
+         max(case when ctype = 'CONTRADICTION' then 1 else 0 end) AS any_contra
+  FROM contra_pairs GROUP BY e_id
+),
+hits AS (
+  SELECT e_id, 1 AS rank, hit, confidence, 'MERGED' AS revision_outcome FROM ident_m
+  UNION ALL
+  SELECT e_id, 2, hit, round(greatest(e_conf * 0.3, 0.05), 6), 'CONTRADICTED'
+  FROM contra_g WHERE any_contra = 1
+  UNION ALL
+  SELECT e_id, 2, hit, round(e_conf, 6), 'WORLD_PROGRESSION'
+  FROM contra_g WHERE any_contra = 0
+  UNION ALL SELECT e_id, 3, hit, confidence, 'REINFORCED' FROM reinforced
+),
+hit_one AS (
+  SELECT * FROM (
+    SELECT h.*, row_number() OVER (PARTITION BY e_id ORDER BY rank, hit) AS hrn
+    FROM hits h
+  ) WHERE hrn = 1
+),
+touched AS (SELECT DISTINCT e_id AS prop_id FROM hits),
+unchanged AS (SELECT * FROM rest_ex ANTI JOIN touched USING (prop_id)),
+consumed AS (
+  SELECT DISTINCT new_id AS prop_id FROM reinforce_pairs
+  UNION SELECT new_id FROM ident_pairs
+),
+new_rows AS (SELECT * FROM rest_inc ANTI JOIN consumed USING (prop_id)),
+outcomes AS (
+  SELECT 'MERGED' AS revision_outcome, confidence FROM merged
+  UNION ALL SELECT revision_outcome, confidence FROM hit_one
   UNION ALL SELECT 'UNCHANGED', confidence FROM unchanged
   UNION ALL SELECT 'NEW', confidence FROM new_rows
 )

@@ -184,3 +184,132 @@ def test_identical_classification_merges(spark):
     assert sorted(out["p1"]["grounding"]) == ["g1", "g3"]
     # the SIMILAR pair for the same new prop is outranked -> p2 untouched
     assert out["p2"]["revision_outcome"] == "UNCHANGED"
+
+
+def _tprops(spark, rows):
+    """Proposition rows with predicate + temporal anchor columns."""
+    df = spark.createDataFrame(
+        rows,
+        "prop_id string, context_id string, text string, confidence double, "
+        "decay double, pinned boolean, status string, reinforce_count int, "
+        "grounding array<string>, predicate string, observed_at string",
+    )
+    return df.withColumn("observed_at", F.to_timestamp("observed_at"))
+
+
+def test_temporal_conflict_detector_expr(spark):
+    """TemporalConflictDetector.detect truth table (spi/ConflictDetectorTest.kt):
+    evolving + newer -> WorldProgression; stable predicate -> Contradiction
+    even when newer; absent predicate -> Contradiction; evolving + strictly
+    older -> Contradiction; equal recency -> WorldProgression (not a temporal
+    contradiction); predicate read from existing when incoming lacks one."""
+    from dice_spark.operators.revision import conflict_type_expr
+
+    older, newer = "2020-01-01 00:00:00", "2024-01-01 00:00:00"
+    rows = [
+        ("evolving_newer", "employer", "employer", newer, older),
+        ("stable_newer", "birthplace", "birthplace", newer, older),
+        ("no_predicate", None, None, newer, older),
+        ("evolving_older", "employer", "employer", older, newer),
+        ("equal_recency", "employer", "employer", newer, newer),
+        ("existing_pred_fallback", None, "employer", newer, older),
+        ("case_insensitive", "EMPLOYER", None, newer, older),
+    ]
+    df = spark.createDataFrame(
+        rows, "name string, inc_pred string, ex_pred string, inc_rec string, ex_rec string"
+    ).select(
+        "name",
+        conflict_type_expr(
+            F.col("inc_pred"), F.col("ex_pred"),
+            F.to_timestamp("inc_rec"), F.to_timestamp("ex_rec"),
+        ).alias("ctype"),
+    )
+    got = {r["name"]: r["ctype"] for r in df.collect()}
+    assert got == {
+        "evolving_newer": "WORLD_PROGRESSION",
+        "stable_newer": "CONTRADICTION",
+        "no_predicate": "CONTRADICTION",
+        "evolving_older": "CONTRADICTION",
+        "equal_recency": "WORLD_PROGRESSION",
+        "existing_pred_fallback": "WORLD_PROGRESSION",
+        "case_insensitive": "WORLD_PROGRESSION",
+    }
+
+
+def test_revise_world_progression_supersedes_without_damage(spark):
+    """Newer incoming on an evolving predicate: existing retires SUPERSEDED
+    with confidence/decay intact (WORLD_PROGRESSION outcome); a strictly
+    older incoming still damages (CONTRADICTED); detector off -> both damage."""
+    from dice_spark.operators.revision import revise_batch
+
+    existing = _tprops(spark, [
+        ("p1", "c", "Alice Nguyen is employed by Acme Corp.",
+         0.9, 0.1, False, "ACTIVE", 0, ["g1"], "employer", "2022-01-01 00:00:00"),
+        ("p2", "c", "Bob Smith is employed by Initech.",
+         0.8, 0.1, False, "ACTIVE", 0, ["g2"], "employer", "2024-06-01 00:00:00"),
+    ])
+    incoming = _tprops(spark, [
+        ("n1", "c", "Alice Nguyen is no longer employed by Acme Corp.",
+         0.85, 0.2, False, "ACTIVE", 0, ["g3"], "employer", "2024-01-01 00:00:00"),
+        ("n2", "c", "Bob Smith is no longer employed by Initech.",
+         0.85, 0.2, False, "ACTIVE", 0, ["g4"], "employer", "2020-01-01 00:00:00"),
+    ])
+    ments_ex = spark.createDataFrame(
+        [("p1", "alice nguyen", None), ("p2", "bob smith", None)],
+        "prop_id string, span string, resolved_id string",
+    )
+    ments_inc = spark.createDataFrame(
+        [("n1", "alice nguyen", None), ("n2", "bob smith", None)],
+        "prop_id string, span string, resolved_id string",
+    )
+    out = {
+        r["prop_id"]: r
+        for r in revise_batch(
+            existing, incoming, ments_ex, ments_inc, temporal_conflicts=True
+        ).collect()
+    }
+    p1 = out["p1"]
+    assert p1["revision_outcome"] == "WORLD_PROGRESSION"
+    assert p1["status"] == "SUPERSEDED"
+    assert abs(p1["confidence"] - 0.9) < 1e-9 and abs(p1["decay"] - 0.1) < 1e-9
+    p2 = out["p2"]
+    assert p2["revision_outcome"] == "CONTRADICTED"
+    assert abs(p2["confidence"] - max(0.8 * 0.3, 0.05)) < 1e-9
+    # incoming facts stay NEW ACTIVE
+    assert out["n1"]["revision_outcome"] == "NEW" and out["n1"]["status"] == "ACTIVE"
+    # detector off (AlwaysContradictionDetector): both existing damage
+    off = {
+        r["prop_id"]: r["revision_outcome"]
+        for r in revise_batch(
+            existing, incoming, ments_ex, ments_inc, temporal_conflicts=False
+        ).collect()
+    }
+    assert off["p1"] == "CONTRADICTED" and off["p2"] == "CONTRADICTED"
+
+
+def test_revise_multi_hit_folds_and_collapses(spark):
+    """Two incoming props reinforcing the same existing fold exactly like the
+    reference's sequential arithmetic (conf' = min(c + 0.1*(a+b), 0.95),
+    decay' = d*0.85^2, reinforce_count + 2) — one output row per prop_id."""
+    existing = _props(spark, [
+        ("p1", "c", "Carol Jones works with the Apollo team daily.",
+         0.6, 0.4, False, "ACTIVE", 0, ["g1"]),
+    ])
+    incoming = _props(spark, [
+        ("n1", "c", "Carol Jones works with the Apollo team often.",
+         0.5, 0.2, False, "ACTIVE", 0, ["g2"]),
+        ("n2", "c", "Carol Jones works with the Apollo team now.",
+         0.7, 0.2, False, "ACTIVE", 0, ["g3"]),
+    ])
+    pairs = spark.createDataFrame(
+        [("p1", "n1", "SIMILAR", 0.8), ("p1", "n2", "SIMILAR", 0.9)],
+        "existing_id string, new_id string, relation string, similarity double",
+    )
+    rows = [r for r in revise(existing, incoming, pairs).collect() if r["prop_id"] == "p1"]
+    assert len(rows) == 1
+    p = rows[0]
+    assert p["revision_outcome"] == "REINFORCED"
+    assert abs(p["confidence"] - min(0.6 + 0.1 * (0.5 + 0.7), 0.95)) < 1e-9
+    assert abs(p["decay"] - 0.4 * 0.85**2) < 1e-9
+    assert p["reinforce_count"] == 2
+    assert sorted(p["grounding"]) == ["g1", "g2", "g3"]
