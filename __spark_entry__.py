@@ -311,6 +311,39 @@ def q_decay_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_status_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PropositionStatusChanged emission from an applied decay sweep
+    (DefaultCollectorRunner.kt:190-218 via common/DiceEvent.kt): exactly one
+    event per swept proposition — pinned and dry-run marks emit nothing —
+    with the marking reason carried on the event. The events relation is an
+    append-only by-product of the sweep records (pure projection, no new
+    shuffle over the store)."""
+    from dice_spark.operators.events import sweep_status_events
+    from dice_spark.operators.sweep import decay_sweep
+
+    t = _transcripts(spark, sf_dir)
+    props = t.select(
+        F.md5(F.concat_ws("|", "conv_id", "turn_idx")).alias("prop_id"),
+        (F.lit(0.5) + (F.length("text") % 50).cast("double") / 100.0).alias("confidence"),
+        ((F.col("turn_idx") % 10).cast("double") / 10.0).alias("decay"),
+        (F.col("turn_idx") % 7 == 0).alias("pinned"),
+        F.lit("ACTIVE").alias("status"),
+        F.col("ts").alias("content_revised"),
+        F.lit(None).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(None).cast("timestamp").alias("invalidated_at"),
+    )
+    _, records = decay_sweep(
+        props,
+        F.to_timestamp(F.lit("2024-12-31 00:00:00")),
+        retire_below=0.5,
+        run_id="sweep-events",
+    )
+    return sweep_status_events(records).select(
+        "event_type", "run_id", "prop_id", "previous_status", "new_status", "reason"
+    )
+
+
 def q_temporal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """effectiveConfidenceAt temporal branches with NON-NULL windows
     (Proposition.kt:326-344 / TemporalMetadata.kt:70-75): the pipeline's
@@ -1056,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linking_ladder": q_linking_ladder,
         "revision_outcomes": q_revision_outcomes,
         "temporal_revision": q_temporal_revision,
+        "status_events": q_status_events,
         "consolidation": q_consolidation,
         "retrieval_vector": q_retrieval_vector,
         "retrieval_hybrid": q_retrieval_hybrid,
@@ -1104,6 +1138,7 @@ def oracle_sql() -> dict[str, str]:
         "linking_ladder": oracle.q_linking_ladder(),
         "revision_outcomes": oracle.q_revision_outcomes(),
         "temporal_revision": oracle.q_temporal_revision(),
+        "status_events": oracle.q_status_events(),
         "consolidation": oracle.q_consolidation(),
         "retrieval_vector": oracle.q_retrieval_vector(),
         "retrieval_hybrid": oracle.q_retrieval_hybrid(),

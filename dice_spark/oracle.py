@@ -448,6 +448,37 @@ FROM decayed
 """
 
 
+def q_status_events(as_of: str = "2024-12-31 00:00:00") -> str:
+    """PropositionStatusChanged oracle (mirror of events.sweep_status_events
+    over decay_sweep records, DefaultCollectorRunner.kt:190-218): one event
+    per unpinned ACTIVE proposition below the retirement floor."""
+    return base_ctes() + f""",
+turn_props AS (
+  SELECT md5(t.conv_id || '|' || t.turn_idx::varchar) AS prop_id,
+         0.5 + (length(t.text) % 50) / 100.0 AS confidence,
+         (t.turn_idx % 10) / 10.0 AS decay,
+         (t.turn_idx % 7 = 0) AS pinned,
+         t.ts AS content_revised
+  FROM transcripts t
+),
+decayed AS (
+  SELECT prop_id, pinned,
+         round(confidence * exp(-decay * 2.0 *
+           greatest(floor((epoch(timestamp '{as_of}') - epoch(content_revised)) / 86400), 0)), 6)
+           AS eff_conf
+  FROM turn_props
+)
+SELECT 'PropositionStatusChanged' AS event_type,
+       'sweep-events' AS run_id,
+       prop_id,
+       'ACTIVE' AS previous_status,
+       'STALE' AS new_status,
+       'eff_conf<0.5' AS reason
+FROM decayed
+WHERE NOT pinned AND eff_conf < 0.5
+"""
+
+
 def q_structured_report(
     as_of_epoch: int = 1786924800,  # 2026-08-17T00:00:00Z
     content_revised_epoch: int = 1780272000,  # 2026-06-01T00:00:00Z

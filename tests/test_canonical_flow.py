@@ -77,3 +77,31 @@ def test_entity_pipeline_variant(spark):
     b = {(r.entity_id, r.canonical_name) for r in full["entities"].collect()}
     assert a == b and len(a) > 0
     assert set(ent_only) == {"entities", "mention_mapping", "rejected_mentions"}
+
+
+def test_decay_sweep_emits_exactly_one_status_event(result):
+    """Stage 5/6 parity (AbstractCanonicalFlowTest.kt:178-198): an applied
+    decay sweep transitions the low-utility candidate (conf 0.2) off ACTIVE
+    and emits exactly ONE PropositionStatusChanged carrying the sweep reason;
+    the two pinned-confidence survivors emit nothing."""
+    from pyspark.sql import functions as F
+
+    from dice_spark.operators.events import sweep_status_events
+    from dice_spark.operators.sweep import decay_sweep
+
+    ts = F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    props = result["propositions"]
+    store = props.withColumn("content_revised", ts)
+    for c in ("valid_from", "valid_to", "invalidated_at"):
+        if c not in store.columns:
+            store = store.withColumn(c, F.lit(None).cast("timestamp"))
+    _, records = decay_sweep(store, ts, retire_below=0.5, run_id="canon-sweep")
+    events = sweep_status_events(records).collect()
+    assert len(events) == 1
+    ev = events[0]
+    assert ev["event_type"] == "PropositionStatusChanged"
+    assert (ev["previous_status"], ev["new_status"]) == ("ACTIVE", "STALE")
+    assert ev["reason"] == "eff_conf<0.5"
+    assert ev["run_id"] == "canon-sweep"
+    low = {r["prop_id"] for r in props.filter(F.col("confidence") < 0.5).collect()}
+    assert ev["prop_id"] in low
