@@ -92,6 +92,11 @@ def neighborhood(
             break
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
+    # Release the pinned edge list: every round materialized visited eagerly,
+    # so nothing returned still reads the cache — without this each BFS call
+    # in a long-lived session pins another copy of the relation in executor
+    # memory (the exact leak fixed in linking.py's vector tier).
+    sym.unpersist()
     return visited.filter(F.col("distance") > 0)
 
 
@@ -124,6 +129,9 @@ def path_between(edges: DataFrame, from_id: str, to_id: str, max_depth: int = MA
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
         found = nxt.filter(F.col("entity_id") == to_id).limit(1).count() > 0
+    # Release the pinned edge list (visited is eagerly checkpointed; the
+    # backtrack below never re-reads sym).
+    sym.unpersist()
     # Backtrack with <= max_depth single-row filters against the (distributed)
     # predecessor table — driver payload stays O(path length), never the whole
     # visited frontier (which approaches |V| on a dense graph at depth 5).

@@ -78,3 +78,22 @@ def test_neighborhood_unrecognized_tier_dropped_by_any_floor(spark):
             for r in neighborhood(e, "alice", 3, min_authority=floor).collect()
         }
         assert got == {"acme"}, floor
+
+
+def test_bfs_releases_edge_cache(spark):
+    """neighborhood/path_between must not pin their symmetric edge relation
+    past the call: a long-lived session issuing many BFS queries would
+    otherwise accumulate one cached copy of the edge list per call."""
+    from dice_spark.operators.graphquery import neighborhood, path_between
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "source_id string, target_id string"
+    )
+    n = neighborhood(edges, "a", max_depth=3)
+    assert n.count() == 3
+    p = path_between(edges, "a", "d", max_depth=4)
+    assert p == ["a", "b", "c", "d"]
+    # The leak was CacheManager-pinned relations (cache() lives until an
+    # explicit unpersist, unlike localCheckpoint RDDs which the
+    # ContextCleaner GCs): after both calls the cache manager must be empty.
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
