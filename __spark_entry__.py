@@ -890,6 +890,89 @@ def q_reconciler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KnowledgeGraphDelta (text2graph/KnowledgeGraphDelta.kt:27-69,
+    MultiPassKnowledgeGraphBuilder.kt:31-85): conversations split into a
+    durable store (~90%) and an incoming batch (conv ids ending '1'); the
+    batch's delta lists its chunk ids, NewEntity vs ExistingEntity merges,
+    and new vs merged (ADOPTED) relationships. Entities come from ONE global
+    canonicalization (store and batch share the resolver, as in the
+    reference); a batch entity whose component also carries store-side
+    mentions resolves to an ExistingEntity."""
+    from dice_spark.operators.delta import compute_delta
+
+    triples = _triples(spark, sf_dir).localCheckpoint(eager=False)
+    entities_all, mapping = canonicalize_mentions(_mentions(triples), CTX)
+    entities_all = entities_all.localCheckpoint(eager=False)
+    mapping = mapping.localCheckpoint(eager=False)
+    subj_map = mapping.select(
+        F.col("norm_key").alias("_sk"), F.col("type_key").alias("_st"),
+        F.col("resolved_id").alias("subj_id"),
+    )
+    obj_map = mapping.select(
+        F.col("norm_key").alias("_ok"), F.col("type_key").alias("_ot"),
+        F.col("resolved_id").alias("obj_id"),
+    )
+
+    def edges_of(t: DataFrame) -> DataFrame:
+        props = (
+            triples_to_propositions(t, CTX)
+            .withColumn("_sk", norm_key("subj_span"))
+            .withColumn("_st", F.lower("subj_type"))
+            .withColumn("_ok", norm_key("obj_span"))
+            .withColumn("_ot", F.lower("obj_type"))
+            .join(subj_map, ["_sk", "_st"], "left")
+            .join(obj_map, ["_ok", "_ot"], "left")
+            .drop("_sk", "_st", "_ok", "_ot")
+        )
+        return project_edges(classify_projection(props, relations_df(t.sparkSession)))
+
+    def side_entities(t: DataFrame) -> DataFrame:
+        ids = (
+            _mentions(t)
+            .select(norm_key("span").alias("norm_key"), F.lower("entity_type").alias("type_key"))
+            .distinct()
+            .join(mapping, ["norm_key", "type_key"])
+            .select(F.col("resolved_id").alias("entity_id"))
+            .distinct()
+        )
+        return entities_all.join(ids, "entity_id")
+
+    last = F.substring("conv_id", -1, 1)
+    store_t = triples.filter(last != "1")
+    batch_t = triples.filter(last == "1")
+    delta = compute_delta(
+        chunks=batch_t.select("chunk_id"),
+        entities=side_entities(batch_t),
+        edges=edges_of(batch_t),
+        existing_entities=side_entities(store_t),
+        existing_edges=edges_of(store_t),
+    )
+    null_s = F.lit(None).cast("string")
+    return (
+        delta["chunk_ids"].select(
+            F.lit("CHUNK").alias("category"), F.col("chunk_id").alias("item_id"),
+            null_s.alias("detail"),
+        )
+        .unionByName(delta["new_entities"].select(
+            F.lit("NEW_ENTITY").alias("category"), F.col("entity_id").alias("item_id"),
+            F.col("canonical_name").alias("detail"),
+        ))
+        .unionByName(delta["merged_entities"].select(
+            F.lit("MERGED_ENTITY").alias("category"), F.col("entity_id").alias("item_id"),
+            F.col("existing_id").alias("detail"),
+        ))
+        .unionByName(delta["new_relationships"].select(
+            F.lit("NEW_RELATIONSHIP").alias("category"), F.col("edge_ref").alias("item_id"),
+            F.col("edge_type").alias("detail"),
+        ))
+        .unionByName(delta["merged_relationships"].select(
+            F.lit("MERGED_RELATIONSHIP").alias("category"), F.col("edge_ref").alias("item_id"),
+            F.col("edge_type").alias("detail"),
+        ))
+    )
+
+
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return exact_dedup(docs).select("canon_hash", "n_docs", "keep_id")
@@ -1097,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hysteresis": q_hysteresis,
         "known_entities": q_known_entities,
         "reconciler": q_reconciler,
+        "kg_delta": q_kg_delta,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_stats": q_doc_stats,
         "doc_ngram_dups": q_doc_ngram_dups,
@@ -1146,6 +1230,7 @@ def oracle_sql() -> dict[str, str]:
         "hysteresis": oracle.q_hysteresis(),
         "known_entities": oracle.q_known_entities(),
         "reconciler": oracle.q_reconciler(),
+        "kg_delta": oracle.q_kg_delta(),
         "doc_exact_dedup": oracle_docs.q_doc_exact_dedup(),
         "doc_stats": oracle_docs.q_doc_stats(),
         "doc_ngram_dups": oracle_docs.q_doc_ngram_dups(),

@@ -1811,3 +1811,100 @@ FROM (SELECT * FROM rc_edges WHERE batch = 1) b
 LEFT JOIN (SELECT DISTINCT edge_ref FROM rc_edges WHERE batch = 0) e
   ON e.edge_ref = b.edge_ref
 """
+
+
+def q_kg_delta(min_confidence: float = DEFAULT_MIN_CONFIDENCE) -> str:
+    """KnowledgeGraphDelta oracle (mirror of operators/delta.compute_delta over
+    the conv-id split in __spark_entry__): one global canonicalization shared
+    by store and batch; per-side entity sets via resolved mentions; batch
+    entities match the store registry by id or by normalized canonical name +
+    type (min existing id wins); batch edge_refs already in the store are
+    merged relationships, unseen refs new."""
+    nk_s = duckdb_norm_key_sql("p.subj_span")
+    nk_o = duckdb_norm_key_sql("p.obj_span")
+    nk_span = duckdb_norm_key_sql("t.span")
+    nk_bn = duckdb_norm_key_sql("b.canonical_name")
+    nk_sn = duckdb_norm_key_sql("s.canonical_name")
+    return base_ctes() + canonicalization_ctes() + f""",
+kd_map AS MATERIALIZED (SELECT * FROM mapping),
+kd_ents AS MATERIALIZED (SELECT * FROM entities),
+kd_side_ids AS MATERIALIZED (
+  SELECT DISTINCT case when substr(t.conv_id, -1, 1) = '1' then 1 else 0 end AS batch,
+         m.resolved_id
+  FROM (
+    SELECT conv_id, subj_span AS span, subj_type AS entity_type FROM typed_triples
+    UNION ALL
+    SELECT conv_id, obj_span, obj_type FROM typed_triples
+  ) t
+  JOIN kd_map m ON m.norm_key = {nk_span} AND m.type_key = lower(t.entity_type)
+),
+kd_batch_ents AS MATERIALIZED (
+  SELECT e.* FROM kd_ents e
+  JOIN (SELECT resolved_id FROM kd_side_ids WHERE batch = 1) i ON i.resolved_id = e.entity_id
+),
+kd_store_ents AS MATERIALIZED (
+  SELECT e.* FROM kd_ents e
+  JOIN (SELECT resolved_id FROM kd_side_ids WHERE batch = 0) i ON i.resolved_id = e.entity_id
+),
+kd_matches AS (
+  SELECT entity_id, min(existing_id) AS existing_id FROM (
+    SELECT b.entity_id, s.entity_id AS existing_id
+    FROM kd_batch_ents b JOIN kd_store_ents s ON s.entity_id = b.entity_id
+    UNION
+    SELECT b.entity_id, s.entity_id
+    FROM kd_batch_ents b JOIN kd_store_ents s
+      ON {nk_sn} = {nk_bn} AND lower(s.entity_type) = lower(b.entity_type)
+  ) GROUP BY entity_id
+),
+kd_props AS MATERIALIZED (
+  SELECT case when substr(conv_id, -1, 1) = '1' then 1 else 0 end AS batch,
+         sentence AS text,
+         min(predicate) AS predicate,
+         min(subj_span) AS subj_span,
+         min(obj_span) AS obj_span,
+         min(subj_type) AS subj_type,
+         min(obj_type) AS obj_type,
+         round(least(min(confidence) * (1 + 0.3 * (count(*) - 1)), 0.99), 6) AS confidence
+  FROM typed_triples GROUP BY 1, sentence
+),
+kd_edges AS MATERIALIZED (
+  SELECT batch, source_id, target_id, edge_type,
+         source_id || '-[' || edge_type || ']->' || target_id AS edge_ref
+  FROM (
+    SELECT p.batch, ms.resolved_id AS source_id, mo.resolved_id AS target_id,
+           regexp_replace(upper(trim(p.predicate)), '\\s+', '_', 'g') AS edge_type,
+           p.confidence,
+           r.subject_type AS r_subj_type, r.object_type AS r_obj_type,
+           p.subj_type, p.obj_type
+    FROM kd_props p
+    LEFT JOIN kd_map ms ON ms.norm_key = {nk_s} AND ms.type_key = lower(p.subj_type)
+    LEFT JOIN kd_map mo ON mo.norm_key = {nk_o} AND mo.type_key = lower(p.obj_type)
+    LEFT JOIN relations r ON r.predicate = p.predicate
+  )
+  WHERE confidence >= {min_confidence}
+    AND source_id IS NOT NULL AND target_id IS NOT NULL
+    AND NOT ((r_subj_type IS NOT NULL AND lower(r_subj_type) <> lower(subj_type))
+          OR (r_obj_type IS NOT NULL AND lower(r_obj_type) <> lower(obj_type)))
+  GROUP BY batch, source_id, target_id, edge_type
+),
+kd_batch_edges AS (
+  SELECT b.edge_ref, b.edge_type,
+         (s.edge_ref IS NOT NULL) AS adopted
+  FROM (SELECT DISTINCT edge_ref, edge_type FROM kd_edges WHERE batch = 1) b
+  LEFT JOIN (SELECT DISTINCT edge_ref FROM kd_edges WHERE batch = 0) s
+    ON s.edge_ref = b.edge_ref
+)
+SELECT 'CHUNK' AS category, chunk_id AS item_id, CAST(NULL AS VARCHAR) AS detail
+FROM (SELECT DISTINCT chunk_id FROM typed_triples WHERE substr(conv_id, -1, 1) = '1')
+UNION ALL
+SELECT 'NEW_ENTITY', b.entity_id, b.canonical_name
+FROM kd_batch_ents b
+WHERE b.entity_id NOT IN (SELECT entity_id FROM kd_matches)
+UNION ALL
+SELECT 'MERGED_ENTITY', b.entity_id, m.existing_id
+FROM kd_batch_ents b JOIN kd_matches m ON m.entity_id = b.entity_id
+UNION ALL
+SELECT 'NEW_RELATIONSHIP', edge_ref, edge_type FROM kd_batch_edges WHERE NOT adopted
+UNION ALL
+SELECT 'MERGED_RELATIONSHIP', edge_ref, edge_type FROM kd_batch_edges WHERE adopted
+"""

@@ -48,6 +48,7 @@ def run_pipeline(
     perspective: str = "ALL",
     existing_props: DataFrame | None = None,
     existing_edges: DataFrame | None = None,
+    existing_entities: DataFrame | None = None,
     schema: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """spill_dir: when set, shared intermediates (extraction output) are
@@ -77,6 +78,7 @@ def run_pipeline(
         perspective=perspective,
         existing_props=existing_props,
         existing_edges=existing_edges,
+        existing_entities=existing_entities,
         schema=schema,
     )
 
@@ -93,6 +95,7 @@ def process_chunks(
     perspective: str = "ALL",
     existing_props: DataFrame | None = None,
     existing_edges: DataFrame | None = None,
+    existing_entities: DataFrame | None = None,
     schema: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Assembled chunks -> the full downstream stage graph.
@@ -194,8 +197,21 @@ def process_chunks(
 
         revision = revise_batch(existing_props, props)
 
+    # Per-batch change contract (KnowledgeGraphDelta.kt:27-69): what this
+    # batch adds vs merges into the durable store. Lazy — no extra action.
+    from dice_spark.operators.delta import compute_delta
+
+    delta = compute_delta(
+        chunks=chunks,
+        entities=entities,
+        edges=edges,
+        existing_entities=existing_entities,
+        existing_edges=existing_edges,
+    )
+
     result = {
         **({"revision": revision} if revision is not None else {}),
+        "delta": delta,
         "rejected_mentions": rejected_mentions,
         "chunks": chunks,
         "turns": turns,

@@ -23,7 +23,10 @@ def result(request, spark):
         conf_overrides=CANONICAL_FLOW_CONF,
         use_udf_extractor=request.param,
     )
-    return {k: v.cache() for k, v in out.items()}
+    cached = {k: v.cache() for k, v in out.items() if k != "delta"}
+    yield cached
+    for v in cached.values():
+        v.unpersist()
 
 
 def _name(entities, entity_id):

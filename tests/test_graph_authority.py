@@ -86,6 +86,9 @@ def test_bfs_releases_edge_cache(spark):
     otherwise accumulate one cached copy of the edge list per call."""
     from dice_spark.operators.graphquery import neighborhood, path_between
 
+    # Hermetic baseline: other modules' fixtures may hold caches in the
+    # shared session; this test is about what BFS itself leaves behind.
+    spark.catalog.clearCache()
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "d")], "source_id string, target_id string"
     )
