@@ -973,6 +973,47 @@ def q_kg_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_edge_descriptions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relationship-description synthesis seam
+    (LlmRelationshipDescriptionSynthesizer.kt:59-113 via the deterministic
+    default synthesizer): per projected edge, the top-5 supporting
+    propositions (rank-before-collect) feed an Arrow mapInPandas batch that
+    returns {description, confidence=mean support confidence, source ids}."""
+    from dice_spark.operators.llm_projection import (
+        synthesis_requests,
+        synthesize_descriptions,
+    )
+
+    triples = _triples(spark, sf_dir).localCheckpoint(eager=False)
+    entities, mapping = canonicalize_mentions(_mentions(triples), CTX)
+    subj_map = mapping.select(
+        F.col("norm_key").alias("_sk"), F.col("type_key").alias("_st"),
+        F.col("resolved_id").alias("subj_id"),
+    )
+    obj_map = mapping.select(
+        F.col("norm_key").alias("_ok"), F.col("type_key").alias("_ot"),
+        F.col("resolved_id").alias("obj_id"),
+    )
+    props = (
+        triples_to_propositions(triples, CTX)
+        .withColumn("_sk", norm_key("subj_span"))
+        .withColumn("_st", F.lower("subj_type"))
+        .withColumn("_ok", norm_key("obj_span"))
+        .withColumn("_ot", F.lower("obj_type"))
+        .join(subj_map, ["_sk", "_st"], "left")
+        .join(obj_map, ["_ok", "_ot"], "left")
+        .drop("_sk", "_st", "_ok", "_ot")
+    )
+    edges = project_edges(classify_projection(props, relations_df(spark)))
+    out = synthesize_descriptions(synthesis_requests(edges, props, entities))
+    return out.select(
+        "edge_ref",
+        "description",
+        F.round("confidence", 6).alias("confidence"),
+        F.array_join("source_prop_ids", ",").alias("source_ids"),
+    )
+
+
 def q_doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return exact_dedup(docs).select("canon_hash", "n_docs", "keep_id")
@@ -1181,6 +1222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "known_entities": q_known_entities,
         "reconciler": q_reconciler,
         "kg_delta": q_kg_delta,
+        "edge_descriptions": q_edge_descriptions,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_stats": q_doc_stats,
         "doc_ngram_dups": q_doc_ngram_dups,
@@ -1231,6 +1273,7 @@ def oracle_sql() -> dict[str, str]:
         "known_entities": oracle.q_known_entities(),
         "reconciler": oracle.q_reconciler(),
         "kg_delta": oracle.q_kg_delta(),
+        "edge_descriptions": oracle.q_edge_descriptions(),
         "doc_exact_dedup": oracle_docs.q_doc_exact_dedup(),
         "doc_stats": oracle_docs.q_doc_stats(),
         "doc_ngram_dups": oracle_docs.q_doc_ngram_dups(),

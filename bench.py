@@ -107,6 +107,10 @@ def main() -> int:
     timed("grounding_wiring", lambda: entry.q_grounding_wiring(spark, sf_dir).count())
     timed("path_between", lambda: entry.q_path_between(spark, sf_dir).count())
     timed("reconciler", lambda: entry.q_reconciler(spark, sf_dir).count())
+    timed("kg_delta", lambda: entry.q_kg_delta(spark, sf_dir).count())
+    timed("edge_descriptions", lambda: entry.q_edge_descriptions(spark, sf_dir).count())
+    timed("temporal_revision", lambda: entry.q_temporal_revision(spark, sf_dir).count())
+    timed("status_events", lambda: entry.q_status_events(spark, sf_dir).count())
     # memory_consolidation runs the banded-MinHash pair stage
     # (consolidate_session(use_lsh=True)) — bucket-bounded even on this
     # corpus's ~uniform 20% token document frequency, where the shared-word

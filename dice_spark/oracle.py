@@ -1908,3 +1908,47 @@ SELECT 'NEW_RELATIONSHIP', edge_ref, edge_type FROM kd_batch_edges WHERE NOT ado
 UNION ALL
 SELECT 'MERGED_RELATIONSHIP', edge_ref, edge_type FROM kd_batch_edges WHERE adopted
 """
+
+
+def q_edge_descriptions() -> str:
+    """Edge-description synthesis oracle (mirror of
+    llm_projection.synthesis_requests + default_synthesize): per edge the
+    top-5 supporting resolved propositions by (confidence desc, prop_id),
+    description templated from the display names + top text, confidence =
+    mean of the supporting confidences; an unsupported edge keeps its
+    existing description with confidence 0."""
+    return base_ctes() + canonicalization_ctes() + edges_ctes() + """,
+ed_rows AS (
+  SELECT source_id, target_id, edge_type, prop_id, text, confidence,
+         row_number() OVER (PARTITION BY source_id, target_id, edge_type
+                            ORDER BY confidence DESC, prop_id ASC) AS rn
+  FROM (
+    SELECT subj_id AS source_id, obj_id AS target_id,
+           regexp_replace(upper(trim(predicate)), '\\s+', '_', 'g') AS edge_type,
+           prop_id, text, confidence
+    FROM resolved_props
+    WHERE subj_id IS NOT NULL AND obj_id IS NOT NULL
+  )
+),
+ed_top AS (
+  SELECT source_id, target_id, edge_type,
+         min(CASE WHEN rn = 1 THEN text END) AS top_text,
+         round(avg(confidence), 6) AS conf,
+         string_agg(prop_id, ',' ORDER BY rn) AS source_ids
+  FROM ed_rows WHERE rn <= 5
+  GROUP BY source_id, target_id, edge_type
+)
+SELECT e.edge_ref,
+       CASE WHEN t.top_text IS NULL THEN coalesce(e.description, '')
+            ELSE ns.canonical_name || ' ' || lower(replace(e.edge_type, '_', ' '))
+                 || ' ' || nt.canonical_name || ': ' || t.top_text
+       END AS description,
+       CAST(CASE WHEN t.top_text IS NULL THEN 0.0 ELSE t.conf END AS DOUBLE) AS confidence,
+       CASE WHEN t.top_text IS NULL THEN '' ELSE t.source_ids END AS source_ids
+FROM edges e
+LEFT JOIN ed_top t
+  ON t.source_id = e.source_id AND t.target_id = e.target_id
+ AND t.edge_type = e.edge_type
+LEFT JOIN entities ns ON ns.entity_id = e.source_id
+LEFT JOIN entities nt ON nt.entity_id = e.target_id
+"""
