@@ -90,19 +90,68 @@ class StreamingPipeline:
         chunks = chunks.localCheckpoint(eager=True)
         if chunks.count() == 0:
             return
+        run_id = f"batch-{batch_id}"
         out = process_chunks(
             chunks,
             context_id=self.context_id,
             use_udf_extractor=self.use_udf_extractor,
-            run_id=f"batch-{batch_id}",
+            run_id=run_id,
             perspective=self.perspective,
         )
+        # One computation serves both the event emission and the MERGEs:
+        # the events must be derived against the PRE-merge store (a lazy
+        # anti-join would re-read the table after the merge overwrote it and
+        # see nothing new), and the checkpoint keeps the merge from running
+        # the extraction pipeline a second time.
+        props = out["propositions"].localCheckpoint(eager=True)
+        edges = out["edges"].localCheckpoint(eager=True)
+        entities = out["entities"].localCheckpoint(eager=True)
+
+        # Domain events (EventEmittingPropositionRepository.kt:81-126): every
+        # save of a previously unseen proposition emits PropositionDiscovered;
+        # idempotent replays of known prop_ids emit nothing. One batch-level
+        # ExtractionBatchCompleted carries the tallies (DiceEvent.kt).
+        from dice_spark.operators.events import EVENT_COLUMNS, extraction_batch_event
+
+        new_props = props.select("prop_id")
+        if wh.exists("propositions"):
+            new_props = new_props.join(
+                wh.read("propositions").select("prop_id"), "prop_id", "left_anti"
+            )
+        discovered = new_props.select(
+            F.lit("PropositionDiscovered").alias("event_type"),
+            F.lit(run_id).alias("run_id"),
+            "prop_id",
+            F.lit(None).cast("string").alias("previous_status"),
+            F.lit(None).cast("string").alias("new_status"),
+            F.lit("stream-save").alias("reason"),
+            F.lit(None).cast("string").alias("payload"),
+        ).select(*EVENT_COLUMNS)
+        stats = self.spark.createDataFrame(
+            [(chunks.count(), props.count(), edges.count(), entities.count())],
+            "n_chunks long, n_propositions long, n_edges long, n_entities long",
+        )
+        events = discovered.unionByName(extraction_batch_event(stats, run_id))
+        # MERGE (not append) on a minted id so a replayed micro-batch — the
+        # retry path where the event write succeeded but a later merge
+        # failed — never duplicates event rows (null prop_id on batch-level
+        # events would defeat a raw natural-key merge).
+        events = events.withColumn(
+            "event_id",
+            F.md5(
+                F.concat_ws(
+                    "|", "event_type", "run_id", F.coalesce("prop_id", F.lit(""))
+                )
+            ),
+        )
+        wh.merge("events", events, ["event_id"])
+
         # MERGE keys make replays of a failed micro-batch idempotent.
-        wh.merge("propositions", out["propositions"], ["prop_id"])
+        wh.merge("propositions", props, ["prop_id"])
         # edge_ref = "src-[TYPE]->dst" already encodes the full MERGE key
         # (GraphProjector.kt:55).
-        wh.merge("edges", out["edges"], ["edge_ref"])
-        wh.merge("entities", out["entities"], ["entity_id"])
+        wh.merge("edges", edges, ["edge_ref"])
+        wh.merge("entities", entities, ["entity_id"])
         wh.append("ledger", chunks.select("conv_id", "content_hash"))
         wh.append(
             "bookmarks",

@@ -59,6 +59,37 @@ def test_stream_two_batches_bookmarks_and_ledger(spark, dirs):
     assert sp.wh.read("propositions").count() == n_props_2
 
 
+def test_stream_emits_domain_events(spark, dirs):
+    """Every micro-batch appends domain events: one PropositionDiscovered per
+    previously-unseen proposition (EventEmittingPropositionRepository.kt:
+    81-126) plus one ExtractionBatchCompleted with the tallies; replaying the
+    same input produces NO new Discovered events and no duplicate batch rows
+    (event_id MERGE)."""
+    inp, ckpt, wh_root = dirs
+    sp = StreamingPipeline(spark, wh_root, context_id="ev")
+    _write_turns(spark, inp, _turns("conv-e", 0, 6))
+    sp.start(inp, ckpt).awaitTermination()
+
+    events = sp.wh.read("events").collect()
+    discovered = [e for e in events if e.event_type == "PropositionDiscovered"]
+    batch_done = [e for e in events if e.event_type == "ExtractionBatchCompleted"]
+    n_props = sp.wh.read("propositions").count()
+    assert len(discovered) == n_props > 0
+    assert {e.prop_id for e in discovered} == {
+        r.prop_id for r in sp.wh.read("propositions").collect()
+    }
+    assert len(batch_done) == 1
+    payload = dict(kv.split("=") for kv in batch_done[0].payload.split(","))
+    assert int(payload["n_propositions"]) == n_props
+
+    # Replay with a fresh checkpoint: same batch id, same prop ids — the
+    # event_id merge keeps the events table byte-identical.
+    before = sorted(e.event_id for e in sp.wh.read("events").collect())
+    sp.start(inp, ckpt + "2").awaitTermination()
+    after = sorted(e.event_id for e in sp.wh.read("events").collect())
+    assert after == before
+
+
 def test_stream_below_trigger_is_noop(spark, dirs):
     inp, ckpt, wh_root = dirs
     sp = StreamingPipeline(spark, wh_root, context_id="s2")
