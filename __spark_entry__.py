@@ -177,7 +177,7 @@ def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = project_edges(_classified(spark, sf_dir))
     return edges.select(
         "source_id", "target_id", "edge_type", "confidence", "description",
-        F.size("source_prop_ids").cast("long").alias("n_props"), "edge_ref",
+        F.col("n_source_props").alias("n_props"), "edge_ref",
     )
 
 
@@ -281,7 +281,8 @@ def q_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = project_edges(_classified(spark, sf_dir))
     links = two_hop_links(edges)
     return links.select(
-        "source", "target", F.array_join("connecting", ",").alias("connecting")
+        "source", "target", F.array_join("connecting", ",").alias("connecting"),
+        F.col("n_connecting").cast("long").alias("n_connecting"),
     )
 
 

@@ -145,9 +145,20 @@ def path_between(edges: DataFrame, from_id: str, to_id: str, max_depth: int = MA
     return list(reversed(path))
 
 
+MAX_CONNECTING_IDS = 100
+
+
 def two_hop_links(edges: DataFrame) -> DataFrame:
     """Indirect 2-hop links: (source, target, connecting ids) — not directly
-    connected, sharing >= 1 neighbour; canonical pair a <= b; sorted output."""
+    connected, sharing >= 1 neighbour; canonical pair a <= b; sorted output.
+
+    ``connecting`` is capped at MAX_CONNECTING_IDS (smallest ids kept —
+    deterministic): two hub entities share ~|V| neighbours at scale, and an
+    unbounded collect_set would put that whole set in one row. The exact
+    distinct-neighbour count survives in ``n_connecting``.
+    """
+    from pyspark.sql import Window
+
     sym = _undirected(edges)
     e1, e2 = sym.alias("e1"), sym.alias("e2")
     cand = (
@@ -160,10 +171,19 @@ def two_hop_links(edges: DataFrame) -> DataFrame:
         )
     )
     direct = sym.select(F.col("src").alias("source"), F.col("dst").alias("target"))
-    indirect = cand.join(direct, ["source", "target"], "left_anti")
+    # distinct before ranking so n_connecting counts neighbours, not paths;
+    # the window partitions on the groupBy key — one exchange serves both.
+    indirect = cand.join(direct, ["source", "target"], "left_anti").distinct()
+    rank_w = Window.partitionBy("source", "target").orderBy("via")
+    indirect = indirect.withColumn("_rank", F.row_number().over(rank_w))
     return (
         indirect.groupBy("source", "target")
-        .agg(F.array_sort(F.collect_set("via")).alias("connecting"))
+        .agg(
+            F.array_sort(
+                F.collect_set(F.when(F.col("_rank") <= MAX_CONNECTING_IDS, F.col("via")))
+            ).alias("connecting"),
+            F.count(F.lit(1)).alias("n_connecting"),
+        )
         .orderBy("source", "target")
     )
 

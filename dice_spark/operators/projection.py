@@ -29,6 +29,13 @@ from dice_spark.functions.textfns import upper_snake
 DEFAULT_MIN_CONFIDENCE = 0.85  # DefaultProjectionPolicy (ProjectionPolicy.kt:47-61)
 LENIENT_MIN_CONFIDENCE = 0.7
 
+# Cap on the per-edge source_prop_ids array. A Zipf-head edge (the same fact
+# extracted from millions of conversations) would otherwise collect its entire
+# supporting-proposition set into ONE row's array — the exact per-group OOM
+# shape capped in dedup.exact_dedup / consolidation.abstraction_pass. The
+# exact support count survives in n_source_props.
+MAX_EDGE_SOURCE_IDS = 100
+
 
 def classify_projection(
     props: DataFrame,
@@ -64,9 +71,13 @@ def project_edges(classified: DataFrame) -> DataFrame:
     """PROJECTED rows -> edges table; one edge per edge_ref (MERGE key).
 
     edge_ref = "src-[TYPE]->dst" (GraphProjector.kt:55). Multiple propositions
-    emitting the same edge merge: max confidence, unioned source_prop_ids —
-    the reconciler's Adopt path (projection/lineage/Reconciler.kt).
+    emitting the same edge merge: max confidence, unioned source_prop_ids
+    (capped at MAX_EDGE_SOURCE_IDS, smallest ids kept — deterministic), exact
+    support count in n_source_props — the reconciler's Adopt path
+    (projection/lineage/Reconciler.kt).
     """
+    from pyspark.sql import Window
+
     e = classified.filter(F.col("lifecycle") == "PROJECTED").select(
         F.col("subj_id").alias("source_id"),
         F.col("obj_id").alias("target_id"),
@@ -75,12 +86,21 @@ def project_edges(classified: DataFrame) -> DataFrame:
         F.col("text").alias("description"),
         F.col("prop_id"),
     )
+    # rank-before-collect: the window partitions on the same key as the
+    # groupBy, so Catalyst reuses one exchange — no extra shuffle.
+    rank_w = Window.partitionBy("source_id", "target_id", "edge_type").orderBy("prop_id")
+    e = e.withColumn("_id_rank", F.row_number().over(rank_w))
     return (
         e.groupBy("source_id", "target_id", "edge_type")
         .agg(
             F.round(F.max("confidence"), 6).alias("confidence"),
             F.min("description").alias("description"),
-            F.array_sort(F.collect_set("prop_id")).alias("source_prop_ids"),
+            F.array_sort(
+                F.collect_set(
+                    F.when(F.col("_id_rank") <= MAX_EDGE_SOURCE_IDS, F.col("prop_id"))
+                )
+            ).alias("source_prop_ids"),
+            F.count(F.lit(1)).alias("n_source_props"),
         )
         .withColumn(
             "edge_ref",

@@ -361,13 +361,19 @@ cand AS (
   WHERE e1.src < e2.dst
 ),
 indirect AS (
-  SELECT c.* FROM cand c
+  SELECT DISTINCT c.source, c.target, c.via FROM cand c
   LEFT JOIN sym_e d ON d.src = c.source AND d.dst = c.target
   WHERE d.src IS NULL
+),
+ranked AS (
+  SELECT source, target, via,
+         row_number() OVER (PARTITION BY source, target ORDER BY via) AS rnk
+  FROM indirect
 )
 SELECT source, target,
-       string_agg(DISTINCT via, ',' ORDER BY via) AS connecting
-FROM indirect GROUP BY source, target
+       string_agg(CASE WHEN rnk <= 100 THEN via END, ',' ORDER BY via) AS connecting,
+       count(*) AS n_connecting
+FROM ranked GROUP BY source, target
 """
 
 

@@ -99,7 +99,9 @@ EDGES = T.StructType(
         T.StructField("edge_type", T.StringType(), False),  # UPPER_SNAKE predicate
         T.StructField("confidence", T.DoubleType(), False),
         T.StructField("description", T.StringType(), True),
+        # capped at projection.MAX_EDGE_SOURCE_IDS; exact count alongside
         T.StructField("source_prop_ids", T.ArrayType(T.StringType()), True),
+        T.StructField("n_source_props", T.LongType(), False),
         T.StructField("edge_ref", T.StringType(), False),  # "src-[TYPE]->dst"
     ]
 )

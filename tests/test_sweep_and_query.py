@@ -92,3 +92,25 @@ def test_two_hop_links_golden(spark):
     e = _edges(spark, [("alice", "bob"), ("bob", "carol"), ("carol", "dana")])
     got = [(r["source"], r["target"], list(r["connecting"])) for r in two_hop_links(e).collect()]
     assert got == [("alice", "carol", ["bob"]), ("bob", "dana", ["carol"])]
+
+
+def test_two_hop_hub_connecting_capped(spark):
+    """Two hub entities sharing many neighbours: the connecting array is
+    capped at MAX_CONNECTING_IDS (smallest ids — deterministic) while
+    n_connecting keeps the exact distinct-neighbour count."""
+    from dice_spark.operators.graphquery import MAX_CONNECTING_IDS
+
+    n = 300
+    rows = [("hub0", f"leaf{i:04d}") for i in range(n)]
+    rows += [("hub1", f"leaf{i:04d}") for i in range(n)]
+    out = (
+        two_hop_links(_edges(spark, rows))
+        .filter("source = 'hub0' AND target = 'hub1'")
+        .collect()
+    )
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_connecting"] == n
+    assert len(r["connecting"]) == MAX_CONNECTING_IDS
+    assert r["connecting"][0] == "leaf0000"
+    assert r["connecting"][-1] == f"leaf{MAX_CONNECTING_IDS - 1:04d}"
