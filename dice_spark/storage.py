@@ -164,3 +164,42 @@ def make_warehouse(
     if backend not in ("auto", "parquet"):
         raise ValueError(f"unknown warehouse backend {backend!r}")
     return Warehouse(root, spark)
+
+
+def set_pinned(
+    wh, prop_ids: list[str], pinned: bool = True, table: str = "propositions"
+) -> int:
+    """Store-level pin/unpin (PropositionRepository.pin/unpin — PinningTest.kt
+    "pin and unpin toggle the flag and persist it").
+
+    Flips the ``pinned`` flag on the given ids via a MERGE keyed on prop_id
+    and returns how many rows matched — 0 for a missing id, the batch analog
+    of the reference's null return. The id list is driver-provided (an
+    operator pinning a handful of facts), so the broadcast semi-join is the
+    right shape; bulk policy-driven pinning should instead MERGE a computed
+    DataFrame directly.
+    """
+    from pyspark.sql import functions as F
+
+    props = wh.read(table)
+    ids = props.sparkSession.createDataFrame(
+        [(i,) for i in prop_ids], "prop_id string"
+    )
+    hit = props.join(F.broadcast(ids), "prop_id", "semi").withColumn(
+        "pinned", F.lit(bool(pinned))
+    )
+    n = hit.count()
+    if n:
+        wh.merge(table, hit, ["prop_id"])
+    return n
+
+
+def find_pinned(wh, context_id: str | None = None, table: str = "propositions"):
+    """PropositionRepository.findPinned (PinningTest.kt): pinned props,
+    optionally scoped to one context."""
+    from pyspark.sql import functions as F
+
+    out = wh.read(table).filter(F.col("pinned"))
+    if context_id is not None:
+        out = out.filter(F.col("context_id") == context_id)
+    return out

@@ -82,3 +82,44 @@ def test_warehouse_merge_semantics(spark, tmp_path):
     got = {r["k"]: r["v"] for r in wh.read("t").collect()}
     assert got == {1: "a", 2: "B", 3: "c"}  # new rows win on key collision
     assert len(wh.snapshots("t")) == 2
+
+
+def test_pin_unpin_and_find_pinned(spark, tmp_path):
+    """Store-level pinning parity (PinningTest.kt): pin/unpin flip and
+    persist the flag via MERGE, a missing id matches nothing, findPinned
+    returns only pinned rows in the context, and the pinned query filter
+    selects each side."""
+    from dice_spark.operators.propquery import PropQuery, apply_prop_query
+    from dice_spark.storage import Warehouse, find_pinned, set_pinned
+
+    wh = Warehouse(str(tmp_path / "wh"), spark)
+    wh.overwrite(
+        "propositions",
+        spark.createDataFrame(
+            [
+                ("p1", "ctx", "a", 0.8, False),
+                ("p2", "ctx", "b", 0.8, False),
+                ("p3", "other", "c", 0.8, False),
+            ],
+            "prop_id string, context_id string, text string,"
+            " confidence double, pinned boolean",
+        ),
+    )
+
+    assert set_pinned(wh, ["p1"], True) == 1
+    assert {r.prop_id for r in find_pinned(wh, "ctx").collect()} == {"p1"}
+    # persisted: a fresh read sees the flag
+    assert wh.read("propositions").filter("pinned").count() == 1
+    # missing id -> 0 matched (reference returns null), store untouched
+    assert set_pinned(wh, ["nope"], True) == 0
+    assert wh.read("propositions").count() == 3
+
+    # the pinned query filter selects pinned or unpinned (PinningTest.kt)
+    props_ctx = wh.read("propositions")
+    got_pinned = apply_prop_query(props_ctx, PropQuery(context_id="ctx", pinned=True))
+    got_unpinned = apply_prop_query(props_ctx, PropQuery(context_id="ctx", pinned=False))
+    assert {r.prop_id for r in got_pinned.collect()} == {"p1"}
+    assert {r.prop_id for r in got_unpinned.collect()} == {"p2"}
+
+    assert set_pinned(wh, ["p1"], False) == 1
+    assert find_pinned(wh).count() == 0
