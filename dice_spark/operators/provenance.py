@@ -107,3 +107,27 @@ def with_provenance_metadata(props: DataFrame, chunks: DataFrame, **kwargs) -> D
     return out.withColumn("authority_tier", authority_tier()).withColumn(
         "trust_score", trust_score()
     )
+
+
+def with_additional_grounding(props: DataFrame, extra: list[str] | None) -> DataFrame:
+    """RevisionResult.withAdditionalGrounding (proposition/revision/
+    RevisionResult.kt, AdditionalGroundingTest.kt): merge extra source-record
+    ids into each proposition's ``grounding``, de-duplicated, original ids
+    first; empty/None is a no-op. Callers apply this to the INCOMING side
+    only, so New/Merged/Reinforced outputs and a Contradicted pair's new
+    proposition carry the ids while pre-existing originals keep their own
+    provenance."""
+    if not extra:
+        return props
+    extra_arr = F.array(*[F.lit(x) for x in extra])
+    if "grounding" not in props.columns:
+        return props.withColumn("grounding", F.array_distinct(extra_arr))
+    return props.withColumn(
+        "grounding",
+        F.array_distinct(
+            F.concat(
+                F.coalesce(F.col("grounding"), F.array().cast("array<string>")),
+                extra_arr,
+            )
+        ),
+    )

@@ -484,6 +484,7 @@ def revise_batch(
     use_vector_fast_path: bool = False,
     temporal_conflicts: bool = False,
     evolving_predicates=None,
+    additional_grounding: list[str] | None = None,
 ) -> DataFrame:
     """The full revision stage: candidates -> classify seam -> revise.
 
@@ -496,6 +497,14 @@ def revise_batch(
     ``revise``. IDENTICAL pairs from the fast path reinforce like
     high-similarity SIMILAR pairs would merge — the reviser's auto-merge.
     """
+    if additional_grounding:
+        # rememberText enrichment (AdditionalGroundingTest.kt): the INCOMING
+        # side gains the extra source ids, so New/Merged/Reinforced outputs
+        # and a Contradicted pair's new proposition carry them while the
+        # pre-existing originals keep their own provenance.
+        from dice_spark.operators.provenance import with_additional_grounding
+
+        incoming = with_additional_grounding(incoming, additional_grounding)
     mentions_existing = mentions_existing if mentions_existing is not None else prop_mentions(existing)
     mentions_incoming = mentions_incoming if mentions_incoming is not None else prop_mentions(incoming)
     pairs = candidate_pairs_by_overlap(mentions_existing, mentions_incoming)

@@ -50,6 +50,7 @@ def run_pipeline(
     existing_edges: DataFrame | None = None,
     existing_entities: DataFrame | None = None,
     schema: DataFrame | None = None,
+    additional_grounding: list[str] | None = None,
 ) -> dict[str, DataFrame]:
     """spill_dir: when set, shared intermediates (extraction output) are
     materialized as parquet under this path instead of a deserialized
@@ -80,6 +81,7 @@ def run_pipeline(
         existing_edges=existing_edges,
         existing_entities=existing_entities,
         schema=schema,
+        additional_grounding=additional_grounding,
     )
 
 
@@ -97,6 +99,7 @@ def process_chunks(
     existing_edges: DataFrame | None = None,
     existing_entities: DataFrame | None = None,
     schema: DataFrame | None = None,
+    additional_grounding: list[str] | None = None,
 ) -> dict[str, DataFrame]:
     """Assembled chunks -> the full downstream stage graph.
 
@@ -155,9 +158,19 @@ def process_chunks(
     # Provenance stamp (PropositionPipeline.stampProvenance): every
     # proposition carries content-addressed locators for its grounding chunks,
     # plus the derived authority tier and authority-weighted trust score.
-    from dice_spark.operators.provenance import with_provenance_metadata
+    from dice_spark.operators.provenance import (
+        with_additional_grounding,
+        with_provenance_metadata,
+    )
 
     props = with_provenance_metadata(props, chunk_meta, hash_col="content_hash")
+    # rememberText's additionalGrounding enrichment (PropositionPipeline
+    # .processOnce, AdditionalGroundingTest.kt): extra source-record ids are
+    # merged into every persisted proposition's grounding on top of the
+    # primary chunk ids. Non-chunk ids contribute no provenance locator
+    # (stamp's inner join skips them) — same as the reference, where only
+    # resolvable sources gain locators.
+    props = with_additional_grounding(props, additional_grounding)
     subj_map = mapping.select(
         F.col("norm_key").alias("_sk"), F.col("type_key").alias("_st"), F.col("resolved_id").alias("subj_id")
     )

@@ -57,6 +57,7 @@ class StreamingPipeline:
         trigger: int = TRIGGER_INTERVAL,
         use_udf_extractor: bool = True,
         perspective: str = "ALL",
+        additional_grounding: list[str] | None = None,
     ):
         self.spark = spark
         self.wh = Warehouse(warehouse_root, spark)
@@ -66,6 +67,10 @@ class StreamingPipeline:
         self.trigger = trigger
         self.use_udf_extractor = use_udf_extractor
         self.perspective = perspective
+        # rememberText's additionalGrounding: extra source-record ids merged
+        # into every proposition this stream persists (e.g. the connector
+        # feed id behind the stream).
+        self.additional_grounding = additional_grounding
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         wh = self.wh
@@ -97,6 +102,7 @@ class StreamingPipeline:
             use_udf_extractor=self.use_udf_extractor,
             run_id=run_id,
             perspective=self.perspective,
+            additional_grounding=self.additional_grounding,
         )
         # One computation serves both the event emission and the MERGEs:
         # the events must be derived against the PRE-merge store (a lazy

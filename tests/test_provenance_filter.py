@@ -124,3 +124,30 @@ def test_explicit_locator_column_overrides_content(spark):
         props, chunks, hash_col="content_hash", locator_col="source_locator"
     ).collect()[0]
     assert out["provenance"] == ["connector:crm/42"]
+
+
+def test_pipeline_additional_grounding_reaches_propositions(spark):
+    """run_pipeline(additional_grounding=[...]) merges the extra ids into
+    every persisted proposition's grounding on top of the primary chunk ids
+    (PropositionPipeline.processOnce / rememberText); provenance locators
+    stay chunk-derived (non-chunk ids resolve no locator)."""
+    from datetime import datetime, timezone
+
+    from dice_spark.pipeline import run_pipeline
+    from dice_spark.schemas import TRANSCRIPTS
+
+    rows = [
+        ("conv-0", t, "user", f"Agent Zero works with Project Alpha{t}.", None,
+         datetime(2026, 1, 1, 0, t, tzinfo=timezone.utc))
+        for t in range(6)
+    ]
+    tr = spark.createDataFrame(rows, TRANSCRIPTS)
+    out = run_pipeline(tr, context_id="ag", additional_grounding=["email:t1", "hubspot:42"])
+    props = out["propositions"].select("grounding", "provenance").collect()
+    assert props
+    for p in props:
+        g = list(p["grounding"])
+        assert g[-2:] == ["email:t1", "hubspot:42"]
+        assert len(g) > 2  # primary chunk ids kept, extras appended
+        # no locator minted for the non-chunk ids
+        assert all("email:t1" not in loc for loc in p["provenance"])

@@ -313,3 +313,59 @@ def test_revise_multi_hit_folds_and_collapses(spark):
     assert abs(p["decay"] - 0.4 * 0.85**2) < 1e-9
     assert p["reinforce_count"] == 2
     assert sorted(p["grounding"]) == ["g1", "g2", "g3"]
+
+
+def test_additional_grounding_enrichment(spark):
+    """AdditionalGroundingTest.kt parity: extra source-record ids merge into
+    the incoming side's grounding (de-duplicated, originals first); empty is
+    a no-op; merged/reinforced revised rows carry the ids while a
+    contradicted pre-existing original keeps its own provenance."""
+    from dice_spark.operators.provenance import with_additional_grounding
+    from dice_spark.operators.revision import revise_batch
+
+    base = _props(spark, [("n1", "c", "x", 0.9, 0.1, False, "ACTIVE", 0, ["chat:c1"])])
+    # no-op on empty / None
+    assert with_additional_grounding(base, []) is base
+    assert with_additional_grounding(base, None) is base
+    # gains the extras, keeps the original, de-duplicates
+    got = with_additional_grounding(base, ["email:t1", "hubspot:42", "email:t1"]).collect()[0]
+    assert list(got["grounding"]) == ["chat:c1", "email:t1", "hubspot:42"]
+    dup = with_additional_grounding(base, ["chat:c1"]).collect()[0]
+    assert list(dup["grounding"]) == ["chat:c1"]
+
+    existing = _props(spark, [
+        ("p1", "c", "Alice works with Bob at Globex.", 0.8, 0.4, False, "ACTIVE", 0, ["g1"]),
+        ("p2", "c", "Carol leads Project Apollo.", 0.9, 0.2, False, "ACTIVE", 0, ["g2"]),
+    ])
+    incoming = _props(spark, [
+        ("n1", "c", "Alice collaborates with Bob at Globex.", 0.7, 0.5, False, "ACTIVE", 0, ["g3"]),
+        ("n2", "c", "Carol does not lead Project Apollo.", 0.9, 0.1, False, "ACTIVE", 0, []),
+    ])
+
+    def classifier(with_text):
+        return spark.createDataFrame(
+            [("p1", "n1", "SIMILAR", 0.8), ("p2", "n2", "CONTRADICTORY", 0.9)],
+            "existing_id string, new_id string, relation string, similarity double",
+        )
+
+    mentions_e = spark.createDataFrame(
+        [("p1", "alice", None), ("p2", "carol", None)],
+        "prop_id string, span string, resolved_id string",
+    )
+    mentions_i = spark.createDataFrame(
+        [("n1", "alice", None), ("n2", "carol", None)],
+        "prop_id string, span string, resolved_id string",
+    )
+    out = {
+        r["prop_id"]: r
+        for r in revise_batch(
+            existing, incoming, mentions_e, mentions_i, classifier=classifier,
+            additional_grounding=["email:t1"],
+        ).collect()
+    }
+    # reinforced existing row unions the enriched incoming grounding
+    assert "email:t1" in list(out["p1"]["grounding"])
+    # contradicted pre-existing original keeps its own provenance
+    assert list(out["p2"]["grounding"]) == ["g2"]
+    # the new (incoming) side of the contradiction carries the extra id
+    assert "email:t1" in list(out["n2"]["grounding"])
