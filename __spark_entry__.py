@@ -1183,6 +1183,61 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- driver contract ---------------------------------------------------------------
 
 
+def q_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PropositionContraster (operations/contrast/PropositionContraster.kt:56-75
+    + LlmPropositionContraster.kt derived-value arithmetic): contrast the
+    'Alice' and 'Bob' proposition groups with the deterministic default
+    contraster (shared predicate, divergent object). Levels are seeded by
+    prop_id hex so the max-level+1 arithmetic is exercised."""
+    from dice_spark.operators.contrast import contrast_groups
+
+    first = F.substring("prop_id", 1, 1)
+    props = triples_to_propositions(_triples(spark, sf_dir), CTX).withColumn(
+        "level",
+        F.when(first.isin(*"0123"), 0).when(first.isin(*"4567"), 1).otherwise(2),
+    )
+    ga = props.filter(F.col("subj_span").contains("Alice"))
+    gb = props.filter(F.col("subj_span").contains("Bob"))
+    out = contrast_groups(ga, gb, "Alice", "Bob", target_count=5)
+    return out.select(
+        "prop_id", "context_id", "text", "confidence", "decay", "status",
+        "level", "n_sources",
+    )
+
+
+def q_memory_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agent-memory RRF hybrid search (agent/MemoryRetriever.kt:59-215):
+    vector + keyword term-overlap probes, thin-hits gate, entity-expansion
+    probe, 1/(60+rank) fusion, eager ids ranked in-probe but filtered from
+    the final result. Half the store (prop_id hex 0-7) is eager so the thin
+    gate fires and all three tiers contribute."""
+    from dice_spark.operators.agent_memory import memory_search
+
+    props = _classified(spark, sf_dir).withColumn(
+        "content_revised", F.to_timestamp(F.lit("2024-06-01 00:00:00"))
+    )
+    pe = (
+        props.select(
+            "prop_id", F.col("subj_id").alias("resolved_id"), F.lit(0).alias("mention_idx")
+        )
+        .unionByName(
+            props.select(
+                "prop_id", F.col("obj_id").alias("resolved_id"), F.lit(1).alias("mention_idx")
+            )
+        )
+        .filter(F.col("resolved_id").isNotNull())
+    )
+    eager = props.filter(F.substring("prop_id", 1, 1).isin(*"01234567")).select("prop_id")
+    return memory_search(
+        props,
+        "evidence alice collaborates with project apollo",
+        as_of=F.to_timestamp(F.lit("2024-12-31 00:00:00")),
+        prop_entities=pe,
+        eager_ids=eager,
+        limit=10,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG construction on sf0.001 -> edges."""
     return q_kg_edges(spark, "/root/testdata/sf0.001")
@@ -1224,6 +1279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reconciler": q_reconciler,
         "kg_delta": q_kg_delta,
         "edge_descriptions": q_edge_descriptions,
+        "contrast_pass": q_contrast,
+        "memory_search": q_memory_search,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_stats": q_doc_stats,
         "doc_ngram_dups": q_doc_ngram_dups,
@@ -1275,6 +1332,8 @@ def oracle_sql() -> dict[str, str]:
         "reconciler": oracle.q_reconciler(),
         "kg_delta": oracle.q_kg_delta(),
         "edge_descriptions": oracle.q_edge_descriptions(),
+        "contrast_pass": oracle.q_contrast(),
+        "memory_search": oracle.q_memory_search(),
         "doc_exact_dedup": oracle_docs.q_doc_exact_dedup(),
         "doc_stats": oracle_docs.q_doc_stats(),
         "doc_ngram_dups": oracle_docs.q_doc_ngram_dups(),

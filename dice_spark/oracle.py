@@ -1958,3 +1958,202 @@ LEFT JOIN ed_top t
 LEFT JOIN entities ns ON ns.entity_id = e.source_id
 LEFT JOIN entities nt ON nt.entity_id = e.target_id
 """
+
+
+def q_contrast(target_count: int = 5, pair_cap: int = 8) -> str:
+    """Contrast-pass oracle (mirror of operators/contrast.py — the
+    PropositionContraster contract with the deterministic default
+    contraster): per-predicate top-``pair_cap`` rows per side, A x B pairs on
+    a shared predicate with divergent objects, best ``target_count`` pairs by
+    (min confidence desc, a_id, b_id), text-deduped; level = max over A∪B + 1,
+    decay = mean of the pair's sources, confidence clamped."""
+    lvl_case = (
+        "CASE WHEN substr(prop_id, 1, 1) IN ('0','1','2','3') THEN 0 "
+        "WHEN substr(prop_id, 1, 1) IN ('4','5','6','7') THEN 1 ELSE 2 END"
+    )
+    return base_ctes() + f""",
+lvlprops AS (SELECT p.*, {lvl_case} AS level FROM propositions p),
+ga AS (SELECT * FROM lvlprops WHERE contains(subj_span, 'Alice')),
+gb AS (SELECT * FROM lvlprops WHERE contains(subj_span, 'Bob')),
+sa AS (
+  SELECT * FROM (
+    SELECT prop_id, predicate, subj_span, obj_span, confidence, decay,
+           row_number() OVER (PARTITION BY predicate
+                              ORDER BY confidence DESC, prop_id) AS rn
+    FROM ga) WHERE rn <= {pair_cap}
+),
+sb AS (
+  SELECT * FROM (
+    SELECT prop_id, predicate, subj_span, obj_span, confidence, decay,
+           row_number() OVER (PARTITION BY predicate
+                              ORDER BY confidence DESC, prop_id) AS rn
+    FROM gb) WHERE rn <= {pair_cap}
+),
+pairs AS (
+  SELECT sa.prop_id AS a_id, sb.prop_id AS b_id, sa.predicate,
+         sa.subj_span AS a_subj, sa.obj_span AS a_obj,
+         sb.subj_span AS b_subj, sb.obj_span AS b_obj,
+         least(sa.confidence, sb.confidence) AS conf,
+         (sa.decay + sb.decay) / 2.0 AS avg_decay
+  FROM sa JOIN sb ON sa.predicate = sb.predicate AND sa.obj_span <> sb.obj_span
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY conf DESC, a_id, b_id) AS rnk
+    FROM pairs) WHERE rnk <= {target_count}
+),
+contrasts AS (
+  SELECT a_subj || ' ' || predicate || ' ' || a_obj || ' whereas ' ||
+         b_subj || ' ' || predicate || ' ' || b_obj || '.' AS text,
+         conf, avg_decay, a_id, b_id
+  FROM best
+),
+cdedup AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY text ORDER BY a_id, b_id) AS tr
+    FROM contrasts) WHERE tr = 1
+),
+cscal AS (
+  SELECT coalesce(max(level), 0) + 1 AS new_level
+  FROM (SELECT level FROM ga UNION ALL SELECT level FROM gb)
+)
+SELECT md5('{CTX}' || '|' || d.text) AS prop_id,
+       '{CTX}' AS context_id,
+       d.text,
+       round(least(greatest(d.conf, 0.0), 1.0), 6) AS confidence,
+       round(least(greatest(d.avg_decay, 0.0), 1.0), 6) AS decay,
+       'ACTIVE' AS status,
+       (SELECT new_level FROM cscal) AS level,
+       2 AS n_sources
+FROM cdedup d
+"""
+
+
+def q_memory_search(
+    query_text: str = "evidence alice collaborates with project apollo",
+    as_of_epoch: int = 1735603200,
+    content_revised_epoch: int = 1717200000,
+    limit: int = 10,
+) -> str:
+    """Agent-memory RRF hybrid-search oracle (mirror of
+    operators/agent_memory.memory_search — MemoryRetriever.kt:59-215):
+    vector probe (letter-count cosine, topK=limit), keyword term-overlap
+    probe over the top limit*10 by effective confidence, entity-expansion
+    probe gated on thin direct hits, RRF 1/(60+rank) fusion, eager-id rows
+    ranked inside probes but filtered from the final result."""
+    from dice_spark.operators.agent_memory import (
+        KEYWORD_POOL_FACTOR,
+        MAX_EXPANSION_SEEDS,
+        MIN_TOKEN_LEN,
+        RELATED_POOL_FACTOR,
+        RRF_K,
+        tokenize,
+    )
+
+    tokens = tokenize(query_text)
+    assert all(len(t) >= MIN_TOKEN_LEN and "'" not in t for t in tokens)
+    overlap = " + ".join(
+        f"CASE WHEN contains(lower(text), '{t}') THEN 1 ELSE 0 END" for t in tokens
+    )
+    emb_t = _char_emb_sql("lower(text)")
+    emb_q = _char_emb_sql(f"'{query_text.lower()}'")
+
+    def eff_sql(prefix: str = "") -> str:
+        vf = f"floor(epoch({prefix}valid_from))"
+        vt = f"floor(epoch({prefix}valid_to))"
+
+        def decay_from(anchor: str) -> str:
+            return (
+                f"round({prefix}confidence * exp(-{prefix}decay * 2.0 * "
+                f"greatest(floor(({as_of_epoch} - {anchor}) / 86400), 0)), 6)"
+            )
+
+        return f"""CASE
+           WHEN {prefix}valid_from IS NOT NULL AND NOT ({vf} <= {as_of_epoch}
+                AND ({prefix}valid_to IS NULL OR {as_of_epoch} < {vt})) THEN 0.0
+           WHEN {prefix}valid_from IS NOT NULL AND {prefix}valid_to IS NOT NULL
+                THEN {prefix}confidence
+           WHEN {prefix}valid_from IS NOT NULL THEN {decay_from(vf)}
+           ELSE {decay_from(str(content_revised_epoch))}
+         END"""
+
+    return base_ctes() + canonicalization_ctes() + edges_ctes() + f""",
+mstore AS MATERIALIZED (
+  SELECT prop_id, text, confidence, decay, valid_from, valid_to,
+         subj_id, obj_id, round({eff_sql()}, 6) AS eff
+  FROM resolved_props
+),
+meager AS (SELECT prop_id FROM mstore
+           WHERE substr(prop_id, 1, 1) IN ('0','1','2','3','4','5','6','7')),
+mvec AS (
+  SELECT prop_id, row_number() OVER (ORDER BY score DESC, prop_id) AS rank
+  FROM (
+    SELECT prop_id, round(list_cosine_similarity({emb_t}, {emb_q}), 6) AS score
+    FROM mstore
+  ) WHERE NOT isnan(score) AND score >= 0.0
+  ORDER BY score DESC, prop_id LIMIT {limit}
+),
+mpool AS (
+  SELECT prop_id, text,
+         row_number() OVER (ORDER BY eff DESC, prop_id) AS pool_rn
+  FROM mstore ORDER BY eff DESC, prop_id LIMIT {limit * KEYWORD_POOL_FACTOR}
+),
+mkw AS (
+  SELECT prop_id, row_number() OVER (ORDER BY ovl DESC, pool_rn) AS rank
+  FROM (SELECT prop_id, pool_rn, ({overlap}) AS ovl FROM mpool)
+  WHERE ovl > 0 ORDER BY ovl DESC, pool_rn LIMIT {limit}
+),
+mdirect AS (
+  SELECT prop_id, rank, 0 AS tier FROM mvec
+  UNION ALL SELECT prop_id, rank, 1 AS tier FROM mkw
+),
+mthin AS (
+  SELECT count(DISTINCT prop_id) < {limit} AS thin
+  FROM mdirect WHERE prop_id NOT IN (SELECT prop_id FROM meager)
+),
+mins AS (
+  SELECT prop_id, min(tier * 1000000 + rank) AS ins
+  FROM mdirect GROUP BY prop_id
+),
+mpe AS (
+  SELECT prop_id, subj_id AS resolved_id, 0 AS midx FROM mstore
+  WHERE subj_id IS NOT NULL AND subj_id <> ''
+  UNION ALL
+  SELECT prop_id, obj_id AS resolved_id, 1 AS midx FROM mstore
+  WHERE obj_id IS NOT NULL AND obj_id <> ''
+),
+mseeds AS (
+  SELECT resolved_id FROM (
+    SELECT resolved_id,
+           row_number() OVER (ORDER BY first_seen, resolved_id) AS srank
+    FROM (
+      SELECT pe.resolved_id, min(i.ins * 1000 + pe.midx) AS first_seen
+      FROM mins i JOIN mpe pe ON pe.prop_id = i.prop_id
+      GROUP BY pe.resolved_id
+    )
+  ) WHERE srank <= {MAX_EXPANSION_SEEDS} AND (SELECT thin FROM mthin)
+),
+mrelated AS (
+  SELECT prop_id, row_number() OVER (ORDER BY eff DESC, prop_id) AS rank
+  FROM mstore
+  WHERE prop_id IN (SELECT DISTINCT prop_id FROM mpe
+                    WHERE resolved_id IN (SELECT resolved_id FROM mseeds))
+  ORDER BY eff DESC, prop_id LIMIT {limit * RELATED_POOL_FACTOR}
+),
+mall AS (
+  SELECT prop_id, rank, tier FROM mdirect
+  UNION ALL SELECT prop_id, rank, 2 AS tier FROM mrelated
+),
+mfused AS (
+  SELECT prop_id,
+         round(sum(1.0 / ({RRF_K} + rank)), 6) AS rrf,
+         string_agg(DISTINCT (['vector','keyword','related'])[tier + 1], ','
+                    ORDER BY (['vector','keyword','related'])[tier + 1]) AS sources,
+         min(tier * 1000000 + rank) AS ins
+  FROM mall GROUP BY prop_id
+)
+SELECT f.prop_id, s.text, f.sources, f.rrf
+FROM mfused f JOIN mstore s ON s.prop_id = f.prop_id
+WHERE f.prop_id NOT IN (SELECT prop_id FROM meager)
+ORDER BY f.rrf DESC, f.ins LIMIT {limit}
+"""
