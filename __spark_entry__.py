@@ -707,26 +707,40 @@ def q_retrieval_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DecayStatusPolicy hysteresis (spi/StatusTransitionPolicy.kt:91-112):
-    ACTIVE falls to STALE below 0.1, STALE recovers to ACTIVE above 0.2, the
-    0.1-0.2 dead band holds its prior status. Prior status is seeded by
-    prop_id hex parity so both transitions fire."""
-    from dice_spark.functions.decay import effective_confidence
-    from dice_spark.operators.sweep import hysteresis_transition
+    """DecayStatusPolicy hysteresis with the full utility composite
+    (spi/StatusTransitionPolicy.kt:91-148): pinned propositions are
+    sweep-exempt (status held); utility = effectiveConfidence(k=2) *
+    (1 + 0.5*importance) * (1 + 0.25*ln1p(reinforceCount)); ACTIVE falls to
+    STALE strictly below 0.1, STALE recovers strictly above 0.2, the dead
+    band holds. Prior status / pinned / importance are seeded from prop_id
+    hex so every branch (incl. the pinned hold) fires."""
+    from dice_spark.operators.sweep import hysteresis_transition, utility_composite
 
-    props = triples_to_propositions(_triples(spark, sf_dir), CTX).withColumn(
-        "content_revised", F.to_timestamp(F.lit("2026-06-01 00:00:00"))
-    ).withColumn(
-        "status",
-        F.when(F.substring("prop_id", 1, 1).isin(*"01234567"), "STALE").otherwise("ACTIVE"),
+    props = (
+        triples_to_propositions(_triples(spark, sf_dir), CTX)
+        .withColumn("content_revised", F.to_timestamp(F.lit("2026-06-01 00:00:00")))
+        .withColumn(
+            "status",
+            F.when(F.substring("prop_id", 1, 1).isin(*"01234567"), "STALE").otherwise("ACTIVE"),
+        )
+        .withColumn("pinned", F.substring("prop_id", 2, 1).isin(*"0123"))
+        .withColumn(
+            "importance",
+            F.conv(F.substring("prop_id", 3, 1), 16, 10).cast("double") / 15.0,
+        )
     )
     as_of = F.to_timestamp(F.lit("2026-08-17 00:00:00"))
-    out = hysteresis_transition(props, as_of)
+    out = hysteresis_transition(
+        props, as_of, importance_weight=0.5, reinforce_weight=0.25
+    )
     return out.select(
         "prop_id",
-        F.round(effective_confidence(as_of=as_of), 6).alias("eff_conf"),
+        utility_composite(
+            out, as_of, importance_weight=0.5, reinforce_weight=0.25
+        ).alias("utility"),
         F.when(F.substring("prop_id", 1, 1).isin(*"01234567"), "STALE")
         .otherwise("ACTIVE").alias("prior_status"),
+        "pinned",
         "status",
     )
 

@@ -65,15 +65,73 @@ def collector_run_header(records: DataFrame, run_id: str, dry_run: bool, as_of: 
     )
 
 
-def hysteresis_transition(props: DataFrame, as_of: Column) -> DataFrame:
-    """DecayStatusPolicy: ACTIVE->STALE below 0.1; STALE->ACTIVE above 0.2."""
-    p = with_effective_confidence(props, as_of)
-    return p.withColumn(
+def utility_composite(
+    props: DataFrame,
+    as_of: Column,
+    k_multiplier: float = 2.0,
+    importance_weight: float = 0.0,
+    reinforce_weight: float = 0.0,
+) -> Column:
+    """DecayStatusPolicy utility (spi/StatusTransitionPolicy.kt:120-140):
+
+        utility = effectiveConfidence(kMultiplier)
+                * (1 + importanceWeight * importance)
+                * (1 + reinforceWeight  * ln1p(reinforceCount))
+
+    With the default weights of 0.0 this reduces to plain decayed effective
+    confidence, exactly as the reference documents. Missing importance /
+    reinforce_count columns contribute 0 (the reference's unset defaults)."""
+    imp = (
+        F.coalesce(F.col("importance"), F.lit(0.0))
+        if "importance" in props.columns
+        else F.lit(0.0)
+    )
+    rc = (
+        F.coalesce(F.col("reinforce_count").cast("double"), F.lit(0.0))
+        if "reinforce_count" in props.columns
+        else F.lit(0.0)
+    )
+    eff = F.round(effective_confidence(as_of=as_of, k=k_multiplier), 6)
+    return F.round(
+        eff
+        * (F.lit(1.0) + F.lit(importance_weight) * imp)
+        * (F.lit(1.0) + F.lit(reinforce_weight) * F.log1p(rc)),
+        6,
+    )
+
+
+def hysteresis_transition(
+    props: DataFrame,
+    as_of: Column,
+    staleness_threshold: float = HYSTERESIS_STALE_BELOW,
+    recovery_threshold: float = HYSTERESIS_ACTIVE_ABOVE,
+    k_multiplier: float = 2.0,
+    importance_weight: float = 0.0,
+    reinforce_weight: float = 0.0,
+) -> DataFrame:
+    """DecayStatusPolicy (spi/StatusTransitionPolicy.kt:91-148): pinned
+    propositions are sweep-exempt (evaluate returns null -> status held);
+    otherwise ACTIVE -> STALE when utility falls strictly below
+    ``staleness_threshold``, STALE -> ACTIVE when it rises strictly above
+    ``recovery_threshold``; the band between the two holds the prior status
+    (no oscillation around a single cut-off)."""
+    utility = utility_composite(
+        props, as_of, k_multiplier, importance_weight, reinforce_weight
+    )
+    pinned = F.col("pinned") if "pinned" in props.columns else F.lit(False)
+    return props.withColumn(
         "status",
-        F.when((F.col("status") == "ACTIVE") & (F.col("eff_conf") < HYSTERESIS_STALE_BELOW), "STALE")
-        .when((F.col("status") == "STALE") & (F.col("eff_conf") > HYSTERESIS_ACTIVE_ABOVE), "ACTIVE")
+        F.when(pinned, F.col("status"))
+        .when(
+            (F.col("status") == "ACTIVE") & (utility < F.lit(staleness_threshold)),
+            "STALE",
+        )
+        .when(
+            (F.col("status") == "STALE") & (utility > F.lit(recovery_threshold)),
+            "ACTIVE",
+        )
         .otherwise(F.col("status")),
-    ).drop("eff_conf")
+    )
 
 
 def report_by_status(props: DataFrame) -> DataFrame:

@@ -590,9 +590,14 @@ WHERE created >= timestamp '{from_ts}' AND created <= timestamp '{to_ts}'
 def q_hysteresis(
     as_of_epoch: int = 1786924800,
     content_revised_epoch: int = 1780272000,
+    importance_weight: float = 0.5,
+    reinforce_weight: float = 0.25,
 ) -> str:
-    """DecayStatusPolicy hysteresis oracle: seeded prior status by hex
-    parity; ACTIVE < 0.1 -> STALE, STALE > 0.2 -> ACTIVE, dead band holds."""
+    """DecayStatusPolicy hysteresis oracle with the full utility composite
+    (StatusTransitionPolicy.kt:91-148): seeded prior status / pinned /
+    importance by prop_id hex; pinned rows hold their status; utility =
+    eff_conf * (1 + iw*importance) * (1 + rw*ln1p(reinforce_count));
+    ACTIVE < 0.1 -> STALE, STALE > 0.2 -> ACTIVE, dead band holds."""
 
     def decay_from(anchor: str) -> str:
         return (
@@ -603,26 +608,32 @@ def q_hysteresis(
     vf, vt = "floor(epoch(valid_from))", "floor(epoch(valid_to))"
     return base_ctes() + f""",
 hstore AS (
-  SELECT prop_id, confidence, decay, {vf} AS vfe, {vt} AS vte,
+  SELECT prop_id, confidence, decay, reinforce_count,
+         {vf} AS vfe, {vt} AS vte,
          CASE WHEN substr(prop_id, 1, 1) IN ('0','1','2','3','4','5','6','7')
-              THEN 'STALE' ELSE 'ACTIVE' END AS prior_status
+              THEN 'STALE' ELSE 'ACTIVE' END AS prior_status,
+         substr(prop_id, 2, 1) IN ('0','1','2','3') AS pinned,
+         ('0x' || substr(prop_id, 3, 1))::bigint / 15.0 AS importance
   FROM propositions
 ),
 heff AS (
-  SELECT prop_id, prior_status,
-         CASE
+  SELECT prop_id, prior_status, pinned,
+         round(CASE
            WHEN vfe IS NOT NULL AND NOT (vfe <= {as_of_epoch}
                 AND (vte IS NULL OR {as_of_epoch} < vte)) THEN 0.0
            WHEN vfe IS NOT NULL AND vte IS NOT NULL THEN confidence
            WHEN vfe IS NOT NULL THEN {decay_from("vfe")}
            ELSE {decay_from(str(content_revised_epoch))}
-         END AS eff_conf
+         END
+         * (1.0 + {importance_weight} * importance)
+         * (1.0 + {reinforce_weight} * ln(1.0 + reinforce_count)), 6) AS utility
   FROM hstore
 )
-SELECT prop_id, eff_conf, prior_status,
+SELECT prop_id, utility, prior_status, pinned,
        CASE
-         WHEN prior_status = 'ACTIVE' AND eff_conf < 0.1 THEN 'STALE'
-         WHEN prior_status = 'STALE' AND eff_conf > 0.2 THEN 'ACTIVE'
+         WHEN pinned THEN prior_status
+         WHEN prior_status = 'ACTIVE' AND utility < 0.1 THEN 'STALE'
+         WHEN prior_status = 'STALE' AND utility > 0.2 THEN 'ACTIVE'
          ELSE prior_status
        END AS status
 FROM heff

@@ -59,6 +59,39 @@ def test_hysteresis(spark):
     assert got == {"a": "STALE", "b": "ACTIVE", "c": "STALE", "d": "ACTIVE"}
 
 
+def test_hysteresis_pinned_are_sweep_exempt(spark):
+    # DecayStatusPolicy.evaluate returns null for pinned (:141): both a
+    # would-be STALE fall and a would-be ACTIVE recovery hold instead
+    props = _props(spark, [
+        ("p1", "t", 0.05, 0.0, True, "ACTIVE"),
+        ("p2", "t", 0.25, 0.0, True, "STALE"),
+    ])
+    got = {r["prop_id"]: r["status"] for r in hysteresis_transition(props, F.lit(AS_OF)).collect()}
+    assert got == {"p1": "ACTIVE", "p2": "STALE"}
+
+
+def test_hysteresis_utility_weights(spark):
+    # utility = eff * (1 + iw*importance) * (1 + rw*ln1p(reinforce)) — a
+    # below-threshold eff_conf is rescued by importance/reinforcement
+    # (StatusTransitionPolicy.kt:120-140)
+    props = _props(spark, [
+        ("weighted", "t", 0.08, 0.0, False, "ACTIVE"),
+        ("plain", "t", 0.08, 0.0, False, "ACTIVE"),
+    ]).withColumn(
+        "importance", F.when(F.col("prop_id") == "weighted", 1.0).otherwise(0.0)
+    ).withColumn(
+        "reinforce_count", F.when(F.col("prop_id") == "weighted", 3).otherwise(0)
+    )
+    got = {
+        r["prop_id"]: r["status"]
+        for r in hysteresis_transition(
+            props, F.lit(AS_OF), importance_weight=1.0, reinforce_weight=0.5
+        ).collect()
+    }
+    # weighted: 0.08 * 2 * (1 + 0.5*ln4) ~ 0.27 -> holds ACTIVE; plain: 0.08 -> STALE
+    assert got == {"weighted": "ACTIVE", "plain": "STALE"}
+
+
 def test_report_top_n_ordering(spark):
     props = _props(spark, [
         ("p-bob", "b", 0.95, 0.0, False, "ACTIVE"),
