@@ -1252,6 +1252,37 @@ def q_memory_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_oracle_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle.ask layered answering (query/oracle/Oracle.kt:29-40,
+    LlmOracle.kt:48-140): symbolic pass over the projected edge relation
+    (bindings -> confidence 0.9, grounding = supporting prop ids; parsed
+    query with no matches -> confident negative 0.8), proposition-similarity
+    fallback (top-5, confidence = max hit confidence), AnswerSource parity
+    {PROLOG, PROPOSITIONS, NONE}. Three fixed questions exercise the
+    positive-symbolic, negative-symbolic, and proposition-fallback paths."""
+    from dice_spark.operators.oracle_query import oracle_ask
+    from dice_spark.synth import FIRST_NAMES, LAST_NAMES, RELATIONS
+
+    triples = _triples(spark, sf_dir).localCheckpoint(eager=False)
+    c = _classified(spark, sf_dir).localCheckpoint(eager=False)
+    edges = project_edges(c).localCheckpoint(eager=False)
+    entities, _ = canonicalize_mentions(_mentions(triples), CTX)
+    entities = entities.localCheckpoint(eager=False)
+
+    relations = [r[0] for r in RELATIONS] + ["is allergic to"]
+    entity_names = [f"{f} {l}" for f in FIRST_NAMES for l in LAST_NAMES]
+    questions = [
+        "Who collaborates with Alice Nguyen?",  # symbolic positive
+        "Who is allergic to peanuts?",          # symbolic negative (no such edges)
+        "Tell me about the Apollo initiative",  # no predicate -> proposition fallback
+    ]
+    out = None
+    for q in questions:
+        a = oracle_ask(q, edges, entities, c, relations, entity_names)
+        out = a if out is None else out.unionByName(a)
+    return out
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG construction on sf0.001 -> edges."""
     return q_kg_edges(spark, "/root/testdata/sf0.001")
@@ -1295,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_descriptions": q_edge_descriptions,
         "contrast_pass": q_contrast,
         "memory_search": q_memory_search,
+        "oracle_answers": q_oracle_answers,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_stats": q_doc_stats,
         "doc_ngram_dups": q_doc_ngram_dups,
@@ -1348,6 +1380,7 @@ def oracle_sql() -> dict[str, str]:
         "edge_descriptions": oracle.q_edge_descriptions(),
         "contrast_pass": oracle.q_contrast(),
         "memory_search": oracle.q_memory_search(),
+        "oracle_answers": oracle.q_oracle_answers(),
         "doc_exact_dedup": oracle_docs.q_doc_exact_dedup(),
         "doc_stats": oracle_docs.q_doc_stats(),
         "doc_ngram_dups": oracle_docs.q_doc_ngram_dups(),

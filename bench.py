@@ -111,6 +111,9 @@ def main() -> int:
     timed("edge_descriptions", lambda: entry.q_edge_descriptions(spark, sf_dir).count())
     timed("temporal_revision", lambda: entry.q_temporal_revision(spark, sf_dir).count())
     timed("status_events", lambda: entry.q_status_events(spark, sf_dir).count())
+    timed("contrast_pass", lambda: entry.q_contrast(spark, sf_dir).count())
+    timed("memory_search", lambda: entry.q_memory_search(spark, sf_dir).count())
+    timed("oracle_answers", lambda: entry.q_oracle_answers(spark, sf_dir).count())
     # memory_consolidation runs the banded-MinHash pair stage
     # (consolidate_session(use_lsh=True)) — bucket-bounded even on this
     # corpus's ~uniform 20% token document frequency, where the shared-word

@@ -2168,3 +2168,117 @@ FROM mfused f JOIN mstore s ON s.prop_id = f.prop_id
 WHERE f.prop_id NOT IN (SELECT prop_id FROM meager)
 ORDER BY f.rrf DESC, f.ins LIMIT {limit}
 """
+
+
+def q_oracle_answers() -> str:
+    """Oracle.ask layered-answer oracle (mirror of operators/oracle_query.py
+    — LlmOracle.kt:48-140): per fixed question, either the symbolic pass
+    over the projected edge relation (bindings join, confident-negative on
+    zero matches) or the proposition-similarity fallback (top-5 letter-count
+    cosine, max-confidence, sorted grounding ids). The question -> plan parse
+    is the SAME python helper both engines call at SQL-build time."""
+    from dice_spark.operators.oracle_query import (
+        MAX_BINDINGS,
+        PROP_TOP_K,
+        _edge_type,
+        parse_question,
+    )
+    from dice_spark.synth import FIRST_NAMES, LAST_NAMES, RELATIONS
+
+    relations = [r[0] for r in RELATIONS] + ["is allergic to"]
+    entity_names = [f"{f} {l}" for f in FIRST_NAMES for l in LAST_NAMES]
+    questions = [
+        "Who collaborates with Alice Nguyen?",
+        "Who is allergic to peanuts?",
+        "Tell me about the Apollo initiative",
+    ]
+    neg_text = "No, I couldn''t find information about that."
+    ctes = ["""
+oe_ids AS (
+  SELECT source_id, target_id, edge_type,
+         list_sort(list(DISTINCT prop_id)) AS sids
+  FROM (
+    SELECT source_id, target_id, edge_type, prop_id,
+           row_number() OVER (PARTITION BY source_id, target_id, edge_type
+                              ORDER BY prop_id) AS rn
+    FROM edge_rows
+  ) WHERE rn <= 100
+  GROUP BY source_id, target_id, edge_type
+)"""]
+    finals = []
+    for i, q in enumerate(questions):
+        pred, bound = parse_question(q, relations, entity_names)
+        if pred is not None:
+            etype = _edge_type(pred)
+            binding = ""
+            if bound:
+                ors = " OR ".join(
+                    f"ns.canonical_name = '{n}' OR nt.canonical_name = '{n}'"
+                    for n in bound
+                )
+                binding = f" AND ({ors})"
+            render = f"sn || ' {pred} ' || tn"
+            ctes.append(f"""
+q{i}m AS (
+  SELECT e.edge_ref, ns.canonical_name AS sn, nt.canonical_name AS tn, i2.sids
+  FROM edges e
+  JOIN entities ns ON ns.entity_id = e.source_id
+  JOIN entities nt ON nt.entity_id = e.target_id
+  JOIN oe_ids i2 ON i2.source_id = e.source_id AND i2.target_id = e.target_id
+                AND i2.edge_type = e.edge_type
+  WHERE e.edge_type = '{etype}'{binding}
+  ORDER BY e.edge_ref LIMIT {MAX_BINDINGS}
+),
+q{i} AS (
+  SELECT '{q}' AS question,
+         CASE WHEN count(*) > 0
+              THEN string_agg({render}, '; ' ORDER BY {render})
+              ELSE '{neg_text}' END AS answer,
+         cast(CASE WHEN count(*) > 0 THEN 0.9 ELSE 0.8 END AS double) AS confidence,
+         count(*) = 0 AS negative,
+         'PROLOG' AS source,
+         cast(CASE WHEN count(*) > 0
+              THEN len(flatten(list(sids))) ELSE 0 END AS int) AS n_grounding,
+         CASE WHEN count(*) > 0
+              THEN array_to_string(list_sort(flatten(list(sids))), ',')
+              ELSE '' END AS grounding
+  FROM q{i}m
+)""")
+        else:
+            emb_t = _char_emb_sql("lower(text)")
+            emb_q = _char_emb_sql(f"'{q.lower()}'")
+            ctes.append(f"""
+q{i}t AS (
+  SELECT prop_id, text, confidence,
+         row_number() OVER (ORDER BY score DESC, prop_id) AS rn
+  FROM (
+    SELECT prop_id, text, confidence,
+           round(list_cosine_similarity({emb_t}, {emb_q}), 6) AS score
+    FROM resolved_props
+  ) WHERE NOT isnan(score) AND score >= 0.0
+  ORDER BY score DESC, prop_id LIMIT {PROP_TOP_K}
+),
+q{i} AS (
+  SELECT '{q}' AS question,
+         CASE WHEN count(*) > 0
+              THEN max(CASE WHEN rn = 1 THEN text END)
+              ELSE 'I don''t have enough information to answer: {q}' END AS answer,
+         cast(CASE WHEN count(*) > 0
+              THEN round(coalesce(max(confidence), 0.7), 6)
+              ELSE 0.0 END AS double) AS confidence,
+         count(*) = 0 AS negative,
+         CASE WHEN count(*) > 0 THEN 'PROPOSITIONS' ELSE 'NONE' END AS source,
+         cast(count(*) AS int) AS n_grounding,
+         coalesce(string_agg(prop_id, ',' ORDER BY prop_id), '') AS grounding
+  FROM q{i}t
+)""")
+        finals.append(f"SELECT * FROM q{i}")
+    return (
+        base_ctes()
+        + canonicalization_ctes()
+        + edges_ctes()
+        + ","
+        + ",".join(ctes)
+        + "\n"
+        + " UNION ALL ".join(finals)
+    )
