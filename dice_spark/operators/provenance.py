@@ -131,3 +131,47 @@ def with_additional_grounding(props: DataFrame, extra: list[str] | None) -> Data
             )
         ),
     )
+
+
+def resolve_sources(
+    props: DataFrame,
+    prop_ids: DataFrame | list[str],
+    max_sources: int = 100,
+) -> DataFrame:
+    """Batch provenance lookup for a result set (agent/ProvenanceResolver.kt:
+    30-46): one call per result set, never per proposition. Input ids may be
+    a literal list or a 1-column (prop_id) relation; output is one row per
+    requested proposition that HAS recorded sources — absent ids are simply
+    absent, matching the contract ("propositions with no recorded source may
+    be absent from the map").
+
+    Returns (prop_id, sources) with ``sources`` the proposition's provenance
+    locator keys most-authoritative first (connector < uri/file < content —
+    locator_ordinal order, then key), capped at ``max_sources`` ("Memory caps
+    and truncates for display").
+
+    Scale shape: a broadcast semi-join on prop_id against the provenance
+    relation — the request side is a result set (tens of rows), so the probe
+    never scans more than the pushed-down id filter.
+    """
+    if isinstance(prop_ids, DataFrame):
+        wanted = prop_ids.select("prop_id")
+        scoped = props.join(F.broadcast(wanted), "prop_id", "left_semi")
+    else:
+        scoped = props.filter(F.col("prop_id").isin(list(prop_ids)))
+    key = F.explode("provenance")
+    return (
+        scoped.select("prop_id", key.alias("_key"))
+        .select(
+            "prop_id",
+            F.struct(locator_ordinal(F.col("_key")).alias("o"), F.col("_key").alias("k")).alias("_sk"),
+        )
+        .groupBy("prop_id")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("_sk")), 1, max_sources).alias("_sks")
+        )
+        .select(
+            "prop_id",
+            F.transform("_sks", lambda s: s["k"]).alias("sources"),
+        )
+    )

@@ -151,3 +151,25 @@ def test_pipeline_additional_grounding_reaches_propositions(spark):
         assert len(g) > 2  # primary chunk ids kept, extras appended
         # no locator minted for the non-chunk ids
         assert all("email:t1" not in loc for loc in p["provenance"])
+
+
+def test_resolve_sources_batch_contract(spark):
+    """ProvenanceResolver.resolveSources (agent/ProvenanceResolver.kt:30-46):
+    one batch call, most-authoritative source first, sourceless and unknown
+    ids absent from the result."""
+    from dice_spark.operators.provenance import resolve_sources
+
+    props = spark.createDataFrame(
+        [
+            ("p1", ["content:abc", "connector:slack/1", "uri:x"]),
+            ("p2", []),
+            ("p3", ["content:z"]),
+        ],
+        "prop_id string, provenance array<string>",
+    )
+    got = {r["prop_id"]: list(r["sources"]) for r in resolve_sources(props, ["p1", "p2", "p9"]).collect()}
+    assert got == {"p1": ["connector:slack/1", "uri:x", "content:abc"]}
+    # DataFrame id input behaves identically
+    ids = spark.createDataFrame([("p3",)], "prop_id string")
+    got2 = {r["prop_id"]: list(r["sources"]) for r in resolve_sources(props, ids).collect()}
+    assert got2 == {"p3": ["content:z"]}
