@@ -79,6 +79,37 @@ class Warehouse:
         return sorted(d for d in os.listdir(tdir) if d.startswith("snap-"))
 
 
+class JsonWarehouse(Warehouse):
+    """JSON-lines variant of the snapshot warehouse.
+
+    Parity with JsonFilePropositionRepository (reference:
+    dice/src/main/kotlin/com/embabel/dice/proposition/store/
+    JsonFilePropositionRepository.kt:51-230): the reference's dev/local
+    backend persists the whole store as a JSON document and commits via
+    write-temp-then-atomic-rename (:215-222). Here each commit writes a new
+    JSON-lines snapshot directory and atomically flips the ``_current``
+    pointer — same durability contract, same human-inspectable format, while
+    read/merge/append semantics are inherited unchanged from the parquet
+    warehouse. Parquet stays the scale backend; this one exists so a
+    reference user's local JSON workflow has a drop-in equivalent.
+    """
+
+    def read(self, name: str) -> DataFrame:
+        with open(self._pointer(name)) as f:
+            snap = json.load(f)["snapshot"]
+        return self.spark.read.json(os.path.join(self._table_dir(name), snap))
+
+    def _commit(self, name: str, df: DataFrame) -> None:
+        tdir = self._table_dir(name)
+        os.makedirs(tdir, exist_ok=True)
+        snap = f"snap-{int(time.time() * 1000)}-{os.getpid()}"
+        df.write.mode("overwrite").json(os.path.join(tdir, snap))
+        tmp = self._pointer(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"snapshot": snap}, f)
+        os.replace(tmp, self._pointer(name))  # atomic snapshot flip
+
+
 class IcebergWarehouse:
     """Iceberg-catalog warehouse: same writer contract as ``Warehouse`` but
     with real ACID semantics (reference target: dice-storage's
@@ -156,11 +187,14 @@ def make_warehouse(
     catalog: str = "dice",
     namespace: str = "kg",
 ):
-    """Select the storage backend: ``iceberg`` / ``parquet`` / ``auto``
-    (Iceberg when its runtime is present, else the parquet-snapshot
-    emulation — this sandbox has no Iceberg jar, so auto falls back)."""
+    """Select the storage backend: ``iceberg`` / ``parquet`` / ``json`` /
+    ``auto`` (Iceberg when its runtime is present, else the parquet-snapshot
+    emulation — this sandbox has no Iceberg jar, so auto falls back). ``json``
+    is the JsonFilePropositionRepository-parity dev backend."""
     if backend == "iceberg" or (backend == "auto" and iceberg_available(spark)):
         return IcebergWarehouse(catalog, namespace, spark)
+    if backend == "json":
+        return JsonWarehouse(root, spark)
     if backend not in ("auto", "parquet"):
         raise ValueError(f"unknown warehouse backend {backend!r}")
     return Warehouse(root, spark)
