@@ -221,9 +221,19 @@ def memory_search(
         )
     )
     fused = not_eager(fused)
-    return (
+    # explicit render rank (rrf desc, probe insertion order) — the reference
+    # renders hits in fused order (:75-79), and the final text join would
+    # otherwise scramble row order
+    fused = (
         fused.orderBy(F.desc("rrf"), F.asc("_ins"))
         .limit(limit)
-        .join(scoped.select("prop_id", "text"), "prop_id")
-        .select("prop_id", "text", "sources", "rrf")
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("rrf"), F.asc("_ins"))),
+        )
+    )
+    return (
+        fused.join(scoped.select("prop_id", "text"), "prop_id")
+        .select("rank", "prop_id", "text", "sources", "rrf")
+        .orderBy("rank")
     )

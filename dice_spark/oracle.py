@@ -2162,11 +2162,16 @@ mfused AS (
                     ORDER BY (['vector','keyword','related'])[tier + 1]) AS sources,
          min(tier * 1000000 + rank) AS ins
   FROM mall GROUP BY prop_id
+),
+mkept AS (
+  SELECT prop_id, rrf, sources,
+         row_number() OVER (ORDER BY rrf DESC, ins) AS rank
+  FROM mfused
+  WHERE prop_id NOT IN (SELECT prop_id FROM meager)
+  ORDER BY rrf DESC, ins LIMIT {limit}
 )
-SELECT f.prop_id, s.text, f.sources, f.rrf
-FROM mfused f JOIN mstore s ON s.prop_id = f.prop_id
-WHERE f.prop_id NOT IN (SELECT prop_id FROM meager)
-ORDER BY f.rrf DESC, f.ins LIMIT {limit}
+SELECT k.rank, k.prop_id, s.text, k.sources, k.rrf
+FROM mkept k JOIN mstore s ON s.prop_id = k.prop_id
 """
 
 

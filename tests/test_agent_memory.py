@@ -109,3 +109,34 @@ def test_result_caps_at_limit_ordered_by_rrf(spark):
     assert len(out) == 4
     rrfs = [r["rrf"] for r in out]
     assert rrfs == sorted(rrfs, reverse=True)
+
+
+def test_rrf_floats_consensus_above_higher_ranked_lone_hit(spark):
+    # MemoryTest 'RRF floats a consensus hit above a higher-ranked
+    # single-probe hit': vector-rank-2 + keyword-rank-1 beats vector-rank-1
+    props = _props(spark, [
+        # same letter histogram as "canva" -> wins the vector probe, but no
+        # query TOKEN appears in the text, so the keyword probe skips it
+        ("a", "aaaa nnnn vvvv cccc", 0.9, 0.0, None),
+        ("b", "beta canva fact", 0.9, 0.0, None),
+    ])
+    out = memory_search(props, "canva", AS_OF(), limit=5).collect()
+    by_id = {r["prop_id"]: r for r in out}
+    assert by_id["b"]["sources"] == "keyword,vector"
+    ranks = [r["prop_id"] for r in out]
+    assert ranks.index("b") < ranks.index("a")
+
+
+def test_rrf_ties_keep_tier_order_vector_first(spark):
+    # MemoryTest 'RRF ties keep tier order - vector before keyword': with
+    # limit=1 each probe returns exactly its rank-1 hit — `v` wins the vector
+    # probe (letter cosine ~0.94 vs ~0.34), `k` wins the keyword probe (equal
+    # 1-token overlap, pool tie-break on prop_id: "k" < "v"). Equal RRF 1/61;
+    # insertion order keeps the vector tier first, so the single kept row is v.
+    props = _props(spark, [
+        ("v", "aaaa", 0.9, 0.0, None),
+        ("k", "zzzz beta", 0.9, 0.0, None),
+    ])
+    out = memory_search(props, "aaaa beta", AS_OF(), limit=1).collect()
+    assert len(out) == 1
+    assert out[0]["prop_id"] == "v" and out[0]["sources"] == "vector"
