@@ -1283,6 +1283,28 @@ def q_oracle_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_knowledge_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knowledge-type classification (projection/memory/support/
+    RelationBasedKnowledgeTypeClassifier.kt:30-48 + Heuristic fallback
+    :24-38): first declared predicate contained in the text wins; props
+    whose predicate is outside the declared list fall back to the
+    decay/confidence heuristic. The driver declares only the first five
+    relations so both ladder rungs are value-checked."""
+    from dice_spark.functions.knowledge_type import (
+        heuristic_knowledge_type,
+        relation_knowledge_type,
+    )
+    from dice_spark.synth import RELATION_KNOWLEDGE_TYPES
+
+    declared = RELATION_KNOWLEDGE_TYPES[:5]
+    props = triples_to_propositions(_triples(spark, sf_dir), CTX)
+    return props.select(
+        "prop_id",
+        relation_knowledge_type(declared).alias("knowledge_type"),
+        heuristic_knowledge_type().alias("heuristic_type"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG construction on sf0.001 -> edges."""
     return q_kg_edges(spark, "/root/testdata/sf0.001")
@@ -1327,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contrast_pass": q_contrast,
         "memory_search": q_memory_search,
         "oracle_answers": q_oracle_answers,
+        "knowledge_types": q_knowledge_types,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_stats": q_doc_stats,
         "doc_ngram_dups": q_doc_ngram_dups,
@@ -1381,6 +1404,7 @@ def oracle_sql() -> dict[str, str]:
         "contrast_pass": oracle.q_contrast(),
         "memory_search": oracle.q_memory_search(),
         "oracle_answers": oracle.q_oracle_answers(),
+        "knowledge_types": oracle.q_knowledge_types(),
         "doc_exact_dedup": oracle_docs.q_doc_exact_dedup(),
         "doc_stats": oracle_docs.q_doc_stats(),
         "doc_ngram_dups": oracle_docs.q_doc_ngram_dups(),

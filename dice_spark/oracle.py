@@ -2287,3 +2287,27 @@ q{i} AS (
         + "\n"
         + " UNION ALL ".join(finals)
     )
+
+
+def q_knowledge_types(n_declared: int = 5) -> str:
+    """Knowledge-type classification oracle (mirror of
+    functions/knowledge_type.py — RelationBasedKnowledgeTypeClassifier first-
+    contained-predicate ladder over the first ``n_declared`` declared
+    relations, HeuristicKnowledgeTypeClassifier fallback)."""
+    from dice_spark.synth import RELATION_KNOWLEDGE_TYPES
+
+    declared = RELATION_KNOWLEDGE_TYPES[:n_declared]
+    ladder = " ".join(
+        f"WHEN contains(lower(text), '{p.lower()}') THEN '{k}'" for p, k in declared
+    )
+    heuristic = (
+        "CASE WHEN decay > 0.5 THEN 'EPISODIC' "
+        "WHEN confidence > 0.7 AND decay < 0.3 THEN 'SEMANTIC' "
+        "ELSE 'WORKING' END"
+    )
+    return base_ctes() + f"""
+SELECT prop_id,
+       CASE {ladder} ELSE {heuristic} END AS knowledge_type,
+       {heuristic} AS heuristic_type
+FROM propositions
+"""

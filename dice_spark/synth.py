@@ -38,6 +38,24 @@ PROJECTS = ["Project Apollo", "Project Borealis", "Project Cascade", "Project Dy
 # (predicate, subject_type_constraint, object_type_constraint); order = match
 # priority (RelationBasedGraphProjector tries relations in declaration order,
 # first substring match wins — projection/graph/RelationBasedGraphProjector.kt:292-325).
+# predicate -> KnowledgeType, the declared classification each relation
+# carries in the reference (common/Relation.kt:28-33 semantic / procedural /
+# episodic factories): employment, founding, leadership and management are
+# stable facts; reporting lines, mentorship and advising are behavioral
+# patterns; the day-to-day collaboration predicates are events.
+RELATION_KNOWLEDGE_TYPES: list[tuple[str, str]] = [
+    ("works with", "EPISODIC"),
+    ("reports to", "PROCEDURAL"),
+    ("mentors", "PROCEDURAL"),
+    ("collaborates with", "EPISODIC"),
+    ("advises", "PROCEDURAL"),
+    ("leads", "SEMANTIC"),
+    ("supports", "EPISODIC"),
+    ("is employed by", "SEMANTIC"),
+    ("manages", "SEMANTIC"),
+    ("founded", "SEMANTIC"),
+]
+
 RELATIONS: list[tuple[str, str | None, str | None]] = [
     ("works with", None, None),
     ("reports to", None, None),

@@ -115,3 +115,36 @@ def test_effective_confidence_temporal_branches(spark):
     assert abs(got[1] - 0.9) < 1e-12
     assert abs(got[2] - 0.8 * math.exp(-0.1 * 2.0 * 31)) < 1e-9
     assert got[3] == 0.0
+
+
+def test_knowledge_type_heuristic(spark):
+    """HeuristicKnowledgeTypeClassifier.kt:24-38: decay > 0.5 EPISODIC;
+    confidence > 0.7 and decay < 0.3 SEMANTIC; else WORKING."""
+    from pyspark.sql import functions as F
+
+    from dice_spark.functions.knowledge_type import heuristic_knowledge_type
+
+    df = spark.createDataFrame(
+        [("e", 0.9, 0.6), ("s", 0.8, 0.1), ("w1", 0.5, 0.1), ("w2", 0.8, 0.4)],
+        "id string, confidence double, decay double",
+    )
+    got = {r["id"]: r["kt"] for r in df.select("id", heuristic_knowledge_type().alias("kt")).collect()}
+    assert got == {"e": "EPISODIC", "s": "SEMANTIC", "w1": "WORKING", "w2": "WORKING"}
+
+
+def test_knowledge_type_relation_ladder_declaration_order(spark):
+    """RelationBasedKnowledgeTypeClassifier.kt:30-48: first declared
+    predicate contained in the text wins; unmatched text falls back."""
+    from dice_spark.functions.knowledge_type import relation_knowledge_type
+
+    df = spark.createDataFrame(
+        [
+            ("a", "Alice WORKS WITH and mentors Bob", 0.9, 0.1),
+            ("b", "Alice mentors Bob", 0.9, 0.1),
+            ("c", "Alice likes tea", 0.9, 0.1),  # no predicate -> heuristic SEMANTIC
+        ],
+        "id string, text string, confidence double, decay double",
+    )
+    rels = [("works with", "EPISODIC"), ("mentors", "PROCEDURAL")]
+    got = {r["id"]: r["kt"] for r in df.select("id", relation_knowledge_type(rels).alias("kt")).collect()}
+    assert got == {"a": "EPISODIC", "b": "PROCEDURAL", "c": "SEMANTIC"}
