@@ -1206,10 +1206,12 @@ def q_contrast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dice_spark.operators.contrast import contrast_groups
 
     first = F.substring("prop_id", 1, 1)
+    # contrast_groups reads the group union several times (pairs, level agg,
+    # modal context, decay lookup) — materialize the store once
     props = triples_to_propositions(_triples(spark, sf_dir), CTX).withColumn(
         "level",
         F.when(first.isin(*"0123"), 0).when(first.isin(*"4567"), 1).otherwise(2),
-    )
+    ).localCheckpoint(eager=False)
     ga = props.filter(F.col("subj_span").contains("Alice"))
     gb = props.filter(F.col("subj_span").contains("Bob"))
     out = contrast_groups(ga, gb, "Alice", "Bob", target_count=5)
@@ -1227,9 +1229,11 @@ def q_memory_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate fires and all three tiers contribute."""
     from dice_spark.operators.agent_memory import memory_search
 
+    # three probes + the final text join all read the scoped store —
+    # materialize the classified relation once
     props = _classified(spark, sf_dir).withColumn(
         "content_revised", F.to_timestamp(F.lit("2024-06-01 00:00:00"))
-    )
+    ).localCheckpoint(eager=False)
     pe = (
         props.select(
             "prop_id", F.col("subj_id").alias("resolved_id"), F.lit(0).alias("mention_idx")
