@@ -56,3 +56,53 @@ def test_project_edges_reuses_one_exchange(spark):
     )
     plan = _plan(project_edges(classified))
     assert plan.count("Exchange") == 1
+
+
+def test_memory_search_probes_compile_to_take_ordered(spark, tmp_path):
+    """memory_search's keyword pool is orderBy+limit over the store — it must
+    compile to TakeOrderedAndProject (per-partition top-k + driver merge),
+    never a global Sort of the corpus."""
+    from pyspark.sql import functions as F2
+
+    from dice_spark.functions.decay import effective_confidence
+
+    path = str(tmp_path / "store.parquet")
+    spark.createDataFrame(
+        [(f"p{i}", f"text {i}", 0.9, 0.1) for i in range(50)],
+        "prop_id string, text string, confidence double, decay double",
+    ).write.parquet(path)
+    store = spark.read.parquet(path).withColumn(
+        "content_revised", F2.to_timestamp(F2.lit("2024-06-01 00:00:00"))
+    )
+    eff = effective_confidence(
+        as_of=F2.to_timestamp(F2.lit("2024-12-31 00:00:00")),
+        valid_from=F2.lit(None).cast("timestamp"),
+        valid_to=F2.lit(None).cast("timestamp"),
+        invalidated_at=F2.lit(None).cast("timestamp"),
+    )
+    pool = store.withColumn("_eff", eff).orderBy(
+        F2.desc("_eff"), F2.asc("prop_id")
+    ).limit(100)
+    plan = _plan(pool)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no global sort node
+
+
+def test_default_contraster_joins_bounded_sides(spark):
+    """The contrast pair join must read rank-capped sides: the executed plan
+    carries the rn <= PAIR_CAP filter on BOTH window branches before the
+    predicate equi-join."""
+    from dice_spark.operators.contrast import PAIR_CAP, default_contraster
+
+    mk = lambda tag: spark.createDataFrame(  # noqa: E731
+        [(f"{tag}{i}", "likes", tag, f"{tag}o{i}", 0.5) for i in range(20)],
+        "prop_id string, predicate string, subj_span string, obj_span string,"
+        " confidence double",
+    )
+    pairs = default_contraster(mk("a"), mk("b"), "A", "B", target_count=1000)
+    plan = _plan(pairs)
+    # the rank cap runs BEFORE the join on both sides, and Spark pushes it
+    # into a map-side WindowGroupLimit (partial top-k before the exchange)
+    assert plan.count("<= 8") >= 2
+    assert plan.count("WindowGroupLimit") >= 2
+    assert pairs.count() == PAIR_CAP * PAIR_CAP
