@@ -237,3 +237,36 @@ def memory_search(
         .select("rank", "prop_id", "text", "sources", "rrf")
         .orderBy("rank")
     )
+
+
+def memory_list_all(
+    props: DataFrame,
+    as_of: Column,
+    eager_ids: list[str] | DataFrame | None = None,
+    limit: int = DEFAULT_LIMIT,
+    base: PropQuery | None = None,
+    prop_entities: DataFrame | None = None,
+) -> DataFrame:
+    """List all in-scope memories by effective confidence, no query supplied
+    (MemoryRetriever.listAll, :83-100): the store query takes the top
+    ``limit`` FIRST, then eager ids are filtered — exactly the reference's
+    order of operations, so eager memories consume result slots (a caller
+    already showing 10 eager memories over a limit of 10 sees none here).
+    Returns (rank, prop_id, text, eff_conf)."""
+    scoped = apply_prop_query(props, base, prop_entities) if base is not None else props
+    eff = F.round(effective_confidence(as_of=as_of), 6)
+    out = (
+        scoped.withColumn("eff_conf", eff)
+        .orderBy(F.desc("eff_conf"), F.asc("prop_id"))
+        .limit(limit)
+    )
+    if isinstance(eager_ids, DataFrame):
+        out = out.join(F.broadcast(eager_ids.select("prop_id")), "prop_id", "left_anti")
+    elif eager_ids:
+        out = out.filter(~F.col("prop_id").isin(list(eager_ids)))
+    return (
+        _ranked(out, [F.desc("eff_conf"), F.asc("prop_id")])
+        .filter(F.col("rank") <= limit)
+        .select("rank", "prop_id", "text", "eff_conf")
+        .orderBy("rank")
+    )

@@ -140,3 +140,20 @@ def test_rrf_ties_keep_tier_order_vector_first(spark):
     out = memory_search(props, "aaaa beta", AS_OF(), limit=1).collect()
     assert len(out) == 1
     assert out[0]["prop_id"] == "v" and out[0]["sources"] == "vector"
+
+
+def test_list_all_eager_consume_slots(spark):
+    """MemoryRetriever.listAll (:83-100): the store query limits FIRST, then
+    eager ids filter — eager memories consume result slots."""
+    from dice_spark.operators.agent_memory import memory_list_all
+
+    props = _props(spark, [(f"p{i}", f"text {i}", 0.9 - i / 100.0, 0.0, None) for i in range(6)])
+    out = memory_list_all(props, AS_OF(), eager_ids=["p0", "p1"], limit=3).collect()
+    # top-3 by eff conf are p0,p1,p2; the two eager ones drop AFTER the limit
+    assert [r["prop_id"] for r in out] == ["p2"]
+    assert out[0]["rank"] == 1
+
+
+def test_memory_search_empty_store(spark):
+    props = _props(spark, [("p1", "x", 0.9, 0.0, None)]).filter("prop_id = 'none'")
+    assert memory_search(props, "anything", AS_OF(), limit=5).count() == 0
