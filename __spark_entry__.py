@@ -561,6 +561,9 @@ def q_linking_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     # A sixth probe per entity aims at the BY_ID tier: an opaque span no name
     # tier could match, carrying the entity's id as the extractor's suggestion.
+    # A seventh aims at the creation veto: an unmatchable span whose outcome is
+    # VETOED when the schema closes the mention's type (Org below), NO_MATCH
+    # otherwise (EscalatingEntityResolver.createNewOrVeto, :224-237).
     probe = (
         registry.select(
             F.explode(F.array(*variants)).alias("span"),
@@ -574,12 +577,22 @@ def q_linking_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("entity_id").alias("suggested_id"),
             )
         )
+        .unionByName(
+            registry.select(
+                F.concat(F.lit("qqqq "), F.col("entity_id")).alias("span"),
+                F.col("entity_type"),
+                F.lit(None).cast("string").alias("suggested_id"),
+            )
+        )
         .distinct()
         # Materialized: probe and registry share lineage, and resolving a
         # relation against its own ancestor trips AQE reused-exchange zips.
         .localCheckpoint(eager=True)
     )
-    resolved = resolve_against_entities(probe, registry, vector_tier=True)
+    schema = spark.createDataFrame(
+        [("Org", False)], "entity_type string, creation_permitted boolean"
+    )
+    resolved = resolve_against_entities(probe, registry, vector_tier=True, schema=schema)
     return resolution_counters(resolved)
 
 

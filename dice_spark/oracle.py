@@ -1008,6 +1008,7 @@ probe AS MATERIALIZED (
     UNION ALL SELECT str_split(canonical_name, ' ')[-1], entity_type, NULL FROM ents_m
     UNION ALL SELECT canonical_name || 'x', entity_type, NULL FROM ents_m
     UNION ALL SELECT 'ref#' || entity_id, entity_type, entity_id FROM ents_m
+    UNION ALL SELECT 'qqqq ' || entity_id, entity_type, NULL FROM ents_m
   )
 ),
 m AS (SELECT span, lower(entity_type) AS type_key, {nk_span} AS norm_key, suggested_id FROM probe),
@@ -1099,7 +1100,9 @@ levels AS (
   UNION ALL SELECT span, type_key, 'VECTOR' FROM auto_r
   UNION ALL SELECT span, type_key, 'BAKEOFF' FROM bake_r
 )
-SELECT coalesce(l.resolution_level, 'NO_MATCH') AS resolution_level, count(*) AS n
+SELECT CASE WHEN l.resolution_level IS NOT NULL THEN l.resolution_level
+            WHEN m.type_key = 'org' THEN 'VETOED'
+            ELSE 'NO_MATCH' END AS resolution_level, count(*) AS n
 FROM m LEFT JOIN levels l USING (span, type_key)
 GROUP BY 1 ORDER BY 1
 """
