@@ -1322,6 +1322,27 @@ def q_knowledge_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collector_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DefaultCollectorRunner run headers (projection/memory/
+    DefaultCollectorRunner.kt:239-259): the same decay-collector pass run
+    dry (records MARKED, store untouched) and applied (records SWEPT,
+    ACTIVE -> STALE), each summarized as one CollectorRun header row with
+    its mode and record counts."""
+    from dice_spark.operators.sweep import collector_run_header, decay_sweep
+
+    props = (
+        triples_to_propositions(_triples(spark, sf_dir), CTX)
+        .withColumn("content_revised", F.to_timestamp(F.lit("2024-06-01 00:00:00")))
+        .localCheckpoint(eager=False)
+    )
+    as_of = F.to_timestamp(F.lit("2024-12-31 00:00:00"))
+    _, dry_records = decay_sweep(props, as_of, retire_below=0.5, dry_run=True, run_id="dry-1")
+    _, wet_records = decay_sweep(props, as_of, retire_below=0.5, dry_run=False, run_id="wet-1")
+    return collector_run_header(dry_records, "dry-1", True, as_of).unionByName(
+        collector_run_header(wet_records, "wet-1", False, as_of)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG construction on sf0.001 -> edges."""
     return q_kg_edges(spark, "/root/testdata/sf0.001")
@@ -1367,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_search": q_memory_search,
         "oracle_answers": q_oracle_answers,
         "knowledge_types": q_knowledge_types,
+        "collector_run": q_collector_run,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_stats": q_doc_stats,
         "doc_ngram_dups": q_doc_ngram_dups,
@@ -1422,6 +1444,7 @@ def oracle_sql() -> dict[str, str]:
         "memory_search": oracle.q_memory_search(),
         "oracle_answers": oracle.q_oracle_answers(),
         "knowledge_types": oracle.q_knowledge_types(),
+        "collector_run": oracle.q_collector_run(),
         "doc_exact_dedup": oracle_docs.q_doc_exact_dedup(),
         "doc_stats": oracle_docs.q_doc_stats(),
         "doc_ngram_dups": oracle_docs.q_doc_ngram_dups(),

@@ -2314,3 +2314,46 @@ SELECT prop_id,
        {heuristic} AS heuristic_type
 FROM propositions
 """
+
+
+def q_collector_run(
+    as_of: str = "2024-12-31 00:00:00",
+    content_revised_epoch: int = 1717200000,
+    retire_below: float = 0.5,
+) -> str:
+    """CollectorRun header oracle (mirror of sweep.collector_run_header over
+    sweep.decay_sweep records): one summary row per run — the dry run marks
+    (n_marked = eligible, n_swept = 0), the applied run sweeps. Eligibility
+    mirrors decay_sweep: unpinned ACTIVE with effective confidence below the
+    threshold (every synthetic proposition is minted ACTIVE/unpinned)."""
+    as_of_epoch = f"floor(epoch(timestamp '{as_of}'))"
+
+    def decay_from(anchor: str) -> str:
+        return (
+            f"round(confidence * exp(-decay * 2.0 * "
+            f"greatest(floor(({as_of_epoch} - {anchor}) / 86400), 0)), 6)"
+        )
+
+    vf, vt = "floor(epoch(valid_from))", "floor(epoch(valid_to))"
+    return base_ctes() + f""",
+cr_eff AS (
+  SELECT prop_id,
+         CASE
+           WHEN valid_from IS NOT NULL AND NOT ({vf} <= {as_of_epoch}
+                AND (valid_to IS NULL OR {as_of_epoch} < {vt})) THEN 0.0
+           WHEN valid_from IS NOT NULL AND valid_to IS NOT NULL THEN confidence
+           WHEN valid_from IS NOT NULL THEN {decay_from(vf)}
+           ELSE {decay_from(str(content_revised_epoch))}
+         END AS eff_conf
+  FROM propositions
+),
+cr_marked AS (SELECT prop_id FROM cr_eff WHERE eff_conf < {retire_below})
+SELECT 'dry-1' AS run_id, true AS dry_run,
+       timestamp '{as_of}' AS as_of,
+       count(*) AS n_records, count(*) AS n_marked, cast(0 AS bigint) AS n_swept
+FROM cr_marked
+UNION ALL
+SELECT 'wet-1', false, timestamp '{as_of}',
+       count(*), cast(0 AS bigint), count(*)
+FROM cr_marked
+"""
