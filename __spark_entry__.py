@@ -1343,6 +1343,52 @@ def q_collector_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming entry (streaming/stream.StreamingPipeline — the
+    foreachBatch sink over the incremental window/ledger contract,
+    AbstractIncrementalAnalyzer.kt:75-162): the transcripts split into two
+    deterministic micro-batches by conv_id hash; each batch MERGEs turns,
+    assembles triggered windows against bookmarks, anti-joins the content
+    ledger, runs the pipeline, and MERGEs propositions/entities/edges plus
+    domain events. Returns per-table and per-event-type counts of the final
+    warehouse. Genuinely non-SQL-expressible (stateful micro-batch loop) —
+    registered without an oracle, so the driver records the weaker rows-only
+    check."""
+    import shutil
+    import tempfile
+
+    from dice_spark.streaming.stream import StreamingPipeline
+
+    tr = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "role", "text")
+    root = tempfile.mkdtemp(prefix="dice_stream_q_")
+    try:
+        pipe = StreamingPipeline(spark, root, context_id=CTX)
+        for i in (0, 1):
+            pipe.process_batch(
+                tr.filter(F.crc32("conv_id") % 2 == i).localCheckpoint(eager=True), i
+            )
+        wh = pipe.wh
+        parts = []
+        for table in ("turns", "propositions", "entities", "edges"):
+            parts.append(
+                wh.read(table).agg(
+                    F.lit(f"table:{table}").alias("relation"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+            )
+        events = wh.read("events").groupBy(
+            F.concat(F.lit("event:"), "event_type").alias("relation")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        rows = out.unionByName(events).orderBy("relation").collect()
+        # materialize BEFORE the temp warehouse disappears; tiny fixed-size relation
+        return spark.createDataFrame(rows, "relation string, n long")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG construction on sf0.001 -> edges."""
     return q_kg_edges(spark, "/root/testdata/sf0.001")
@@ -1389,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oracle_answers": q_oracle_answers,
         "knowledge_types": q_knowledge_types,
         "collector_run": q_collector_run,
+        "streaming_batch": q_streaming_batch,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_stats": q_doc_stats,
         "doc_ngram_dups": q_doc_ngram_dups,
