@@ -1389,6 +1389,54 @@ def q_streaming_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_revision_fast_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revision vector fast path (LlmPropositionReviser.kt:306-339 via
+    revision.vector_fast_path): candidate pairs bucket into AUTO_IDENTICAL
+    (cosine >= 0.95, merged with no classifier call), CLASSIFY
+    ([0.5, 0.95) -> the classifier seam) and DROPPED (< 0.5, never
+    classified). Each proposition pairs with three deterministic variants —
+    punctuation-only change (cosine 1 after canonicalization), word-appended
+    (mid band), unrelated text (below floor)."""
+    from dice_spark.operators.revision import vector_fast_path
+
+    props = (
+        triples_to_propositions(_triples(spark, sf_dir), CTX)
+        .select(F.col("prop_id").alias("existing_id"), F.col("text").alias("existing_text"))
+        .localCheckpoint(eager=False)
+    )
+    variants = F.array(
+        F.struct(F.lit("punct").alias("variant"), F.concat("existing_text", F.lit(" !!")).alias("new_text")),
+        F.struct(F.lit("padded").alias("variant"), F.concat("existing_text", F.lit(" and nothing else matters today")).alias("new_text")),
+        F.struct(F.lit("unrelated").alias("variant"), F.lit("zzz qqq xxx").alias("new_text")),
+    )
+    pairs = props.select(
+        "existing_id", "existing_text", F.explode(variants).alias("v")
+    ).select(
+        "existing_id",
+        "existing_text",
+        F.col("v.variant").alias("variant"),
+        F.col("v.new_text").alias("new_text"),
+        F.md5(F.concat_ws("|", "v.variant", "existing_id")).alias("new_id"),
+    )
+    auto, to_classify = vector_fast_path(pairs)
+    bucket = (
+        auto.select("existing_id", "variant", F.lit("AUTO_IDENTICAL").alias("bucket"), F.col("similarity").alias("cosine"))
+        .unionByName(
+            to_classify.select("existing_id", "variant", F.lit("CLASSIFY").alias("bucket"), F.lit(None).cast("double").alias("cosine"))
+        )
+    )
+    return (
+        pairs.select("existing_id", "variant")
+        .join(bucket, ["existing_id", "variant"], "left")
+        .select(
+            "existing_id",
+            "variant",
+            F.coalesce("bucket", F.lit("DROPPED")).alias("bucket"),
+            "cosine",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG construction on sf0.001 -> edges."""
     return q_kg_edges(spark, "/root/testdata/sf0.001")
@@ -1436,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knowledge_types": q_knowledge_types,
         "collector_run": q_collector_run,
         "streaming_batch": q_streaming_batch,
+        "revision_fast_path": q_revision_fast_path,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_stats": q_doc_stats,
         "doc_ngram_dups": q_doc_ngram_dups,
@@ -1492,6 +1541,7 @@ def oracle_sql() -> dict[str, str]:
         "oracle_answers": oracle.q_oracle_answers(),
         "knowledge_types": oracle.q_knowledge_types(),
         "collector_run": oracle.q_collector_run(),
+        "revision_fast_path": oracle.q_revision_fast_path(),
         "doc_exact_dedup": oracle_docs.q_doc_exact_dedup(),
         "doc_stats": oracle_docs.q_doc_stats(),
         "doc_ngram_dups": oracle_docs.q_doc_ngram_dups(),

@@ -2357,3 +2357,40 @@ SELECT 'wet-1', false, timestamp '{as_of}',
        count(*), cast(0 AS bigint), count(*)
 FROM cr_marked
 """
+
+
+def q_revision_fast_path(
+    auto_merge: float = 0.95, cand_floor: float = 0.5
+) -> str:
+    """Revision vector-fast-path oracle (mirror of revision.vector_fast_path
+    — LlmPropositionReviser.kt:306-339): letter-count cosine over
+    canonicalized pair texts, bucketed AUTO_IDENTICAL / CLASSIFY / DROPPED."""
+    canon_e = duckdb_canonicalize_text_sql("existing_text")
+    canon_n = duckdb_canonicalize_text_sql("new_text")
+    emb_e = _char_emb_sql("ce")
+    emb_n = _char_emb_sql("cn")
+    return base_ctes() + f""",
+rfp_pairs AS (
+  SELECT prop_id AS existing_id, text AS existing_text,
+         'punct' AS variant, text || ' !!' AS new_text FROM propositions
+  UNION ALL
+  SELECT prop_id, text, 'padded', text || ' and nothing else matters today'
+  FROM propositions
+  UNION ALL
+  SELECT prop_id, text, 'unrelated', 'zzz qqq xxx' FROM propositions
+),
+rfp_canon AS (
+  SELECT existing_id, variant, {canon_e} AS ce, {canon_n} AS cn FROM rfp_pairs
+),
+rfp_cos AS (
+  SELECT existing_id, variant,
+         round(list_cosine_similarity({emb_e}, {emb_n}), 6) AS cos
+  FROM rfp_canon
+)
+SELECT existing_id, variant,
+       CASE WHEN cos >= {auto_merge} THEN 'AUTO_IDENTICAL'
+            WHEN cos >= {cand_floor} THEN 'CLASSIFY'
+            ELSE 'DROPPED' END AS bucket,
+       CASE WHEN cos >= {auto_merge} THEN cos END AS cosine
+FROM rfp_cos
+"""
