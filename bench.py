@@ -114,6 +114,11 @@ def main() -> int:
     timed("contrast_pass", lambda: entry.q_contrast(spark, sf_dir).count())
     timed("memory_search", lambda: entry.q_memory_search(spark, sf_dir).count())
     timed("oracle_answers", lambda: entry.q_oracle_answers(spark, sf_dir).count())
+    timed("knowledge_types", lambda: entry.q_knowledge_types(spark, sf_dir).count())
+    timed("collector_run", lambda: entry.q_collector_run(spark, sf_dir).count())
+    timed("revision_fast_path", lambda: entry.q_revision_fast_path(spark, sf_dir).count())
+    # streaming_batch is excluded: it measures the stateful warehouse loop
+    # (two full pipeline runs + MERGE I/O into a temp dir), not an operator.
     # memory_consolidation runs the banded-MinHash pair stage
     # (consolidate_session(use_lsh=True)) — bucket-bounded even on this
     # corpus's ~uniform 20% token document frequency, where the shared-word

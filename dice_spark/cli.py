@@ -102,11 +102,24 @@ def main(argv: list[str] | None = None) -> int:
     counters = {
         "run_id": args.run_id,
         "context_id": args.context_id,
+        "n_turns": transcripts.count(),
         "n_chunks": out["chunks"].count(),
+        "n_triples": out["triples"].count(),
         "n_propositions": out["propositions"].count(),
         "n_entities": out["entities"].count(),
         "n_edges": out["edges"].count(),
     }
+    # Durable per-stage counter metrics alongside the lineage (one row per
+    # run) — the audit trail a rerun or a monitor reads without re-counting.
+    wh.append(
+        "stage_counters",
+        spark.createDataFrame(
+            [tuple(counters.values()) + (None,)],
+            "run_id string, context_id string, n_turns long, n_chunks long,"
+            " n_triples long, n_propositions long, n_entities long,"
+            " n_edges long, finished_at timestamp",
+        ).withColumn("finished_at", F.current_timestamp()),
+    )
     print(json.dumps(counters))
     return 0
 

@@ -49,3 +49,9 @@ def test_cli_run_and_resume(spark, tmp_path, capsys):
     assert second["n_chunks"] == 0 and second["n_edges"] == 0
     wh = Warehouse(str(tmp_path / "kg"), spark)
     assert wh.read("edges").count() == first["n_edges"]
+    # per-run stage counters persisted alongside lineage (one row per run)
+    counters = wh.read("stage_counters")
+    assert counters.count() == 2
+    runs = {r["run_id"]: r for r in counters.collect()}
+    assert runs["r1"]["n_edges"] == first["n_edges"] and runs["r1"]["n_turns"] == 6
+    assert runs["r2"]["n_chunks"] == 0
