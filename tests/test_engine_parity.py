@@ -81,3 +81,91 @@ def test_shared_expression_parity(spark, which):
         if got_spark[i] != got_duck[i]
     }
     assert not diffs, f"{len(diffs)} divergent inputs, e.g. {list(diffs.items())[:5]}"
+
+
+def test_effective_confidence_parity(spark):
+    """The bitemporal effectiveConfidence branches (functions/decay.py vs the
+    CASE the oracle repeats): currency boundary exactly AT valid_to, closed
+    windows never decaying, future anchors clamping to age 0, whole-day
+    truncation. 300 fuzzed rows must agree to 6 decimals in both engines."""
+    import datetime as dt
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dice_spark.functions.decay import effective_confidence
+
+    rng = random.Random(42)
+    base = dt.datetime(2024, 6, 1)
+    as_of = dt.datetime(2024, 12, 31)
+
+    def maybe_ts(p):
+        if rng.random() < p:
+            return None
+        # offsets chosen to straddle as_of, incl. exact-boundary hits
+        return base + dt.timedelta(
+            days=rng.randint(-30, 400), seconds=rng.choice([0, 1, 86399])
+        )
+
+    rows = []
+    for i in range(300):
+        vf = maybe_ts(0.4)
+        vt = maybe_ts(0.6) if vf is not None else None
+        rows.append((
+            i,
+            round(rng.uniform(0, 1), 4),
+            round(rng.uniform(0, 1), 4),
+            base + dt.timedelta(days=rng.randint(-10, 200)),
+            vf,
+            vt,
+            maybe_ts(0.85),
+        ))
+    # exact currency boundary: as_of == valid_to must NOT be current
+    rows.append((300, 0.9, 0.1, base, base, as_of, None))
+
+    df = spark.createDataFrame(
+        rows,
+        "i int, confidence double, decay double, content_revised timestamp,"
+        " valid_from timestamp, valid_to timestamp, invalidated_at timestamp",
+    )
+    got_spark = {
+        r["i"]: r["eff"]
+        for r in df.select(
+            "i",
+            F.round(
+                effective_confidence(as_of=F.to_timestamp(F.lit("2024-12-31 00:00:00"))),
+                6,
+            ).alias("eff"),
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(
+        rows,
+        columns=["i", "confidence", "decay", "content_revised", "valid_from",
+                 "valid_to", "invalidated_at"],
+    ))
+    epoch = "floor(epoch(timestamp '2024-12-31 00:00:00'))"
+
+    def decay_from(anchor):
+        return (f"round(confidence * exp(-decay * 2.0 * "
+                f"greatest(floor(({epoch} - {anchor}) / 86400), 0)), 6)")
+
+    sql = f"""
+    SELECT i, round(CASE
+      WHEN invalidated_at IS NOT NULL
+           AND floor(epoch(invalidated_at)) <= {epoch} THEN 0.0
+      WHEN valid_from IS NOT NULL AND NOT (floor(epoch(valid_from)) <= {epoch}
+           AND (valid_to IS NULL OR {epoch} < floor(epoch(valid_to)))) THEN 0.0
+      WHEN valid_from IS NOT NULL AND valid_to IS NOT NULL THEN confidence
+      WHEN valid_from IS NOT NULL THEN {decay_from('floor(epoch(valid_from))')}
+      ELSE {decay_from('floor(epoch(content_revised))')}
+    END, 6) AS eff FROM t"""
+    got_duck = {i: v for i, v in con.execute(sql).fetchall()}
+    diffs = {
+        i: (got_spark[i], got_duck[i])
+        for i in got_spark
+        if abs(got_spark[i] - got_duck[i]) > 1e-9
+    }
+    assert not diffs, f"{len(diffs)} divergent rows, e.g. {list(diffs.items())[:5]}"
+    assert got_spark[300] == 0.0  # exact valid_to boundary is NOT current
