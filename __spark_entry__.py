@@ -1437,6 +1437,70 @@ def q_revision_fast_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERALIZES revision branch (PropositionRelation.GENERALIZES,
+    classifiedToResult priority identical > contradictory > generalizes >
+    similar, LlmPropositionReviser.kt:484-558): an incoming abstraction —
+    here each base sentence with its final word dropped, a strict token
+    subset — stores as GENERALIZED; the covered existing rows stay UNCHANGED
+    and are never reinforced by it. Incoming is the hex-0 slice of the store
+    so pair volume stays incoming-bounded."""
+    from dice_spark.operators.revision import (
+        candidate_pairs_by_overlap,
+        classify_pairs_udf,
+        prop_mentions,
+        revise,
+    )
+
+    props = triples_to_propositions(_triples(spark, sf_dir), CTX).localCheckpoint(
+        eager=False
+    )
+    existing = props
+    trunc = F.regexp_replace("text", r"\s+\S+\.$", ".")
+    incoming = (
+        props.filter(F.substring("prop_id", 1, 1) == "0")
+        .select(trunc.alias("text"), "subj_span", "confidence", "decay")
+        .filter(F.length("text") > 1)
+        .groupBy("text")
+        .agg(
+            F.min("subj_span").alias("subj_span"),
+            F.round(F.min("confidence"), 6).alias("confidence"),
+            F.round(F.min("decay"), 6).alias("decay"),
+        )
+        .select(
+            F.md5(F.concat_ws("|", F.lit(CTX), F.lit("gen"), F.col("text"))).alias("prop_id"),
+            F.lit(CTX).alias("context_id"),
+            "text",
+            "subj_span",
+            F.lit(None).cast("string").alias("obj_span"),
+            "confidence",
+            "decay",
+            F.lit(False).alias("pinned"),
+            F.lit("ACTIVE").alias("status"),
+            F.lit(0).alias("reinforce_count"),
+            F.array().cast("array<string>").alias("grounding"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pairs = candidate_pairs_by_overlap(prop_mentions(existing), prop_mentions(incoming))
+    pwt = (
+        pairs.join(
+            existing.select(
+                F.col("prop_id").alias("existing_id"), F.col("text").alias("existing_text")
+            ),
+            "existing_id",
+        ).join(
+            incoming.select(F.col("prop_id").alias("new_id"), F.col("text").alias("new_text")),
+            "new_id",
+        )
+    )
+    cls = classify_pairs_udf(pwt, detect_generalizes=True)
+    out = revise(existing, incoming, classified_pairs=cls)
+    return out.groupBy("revision_outcome").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("confidence"), 6).alias("sum_conf")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG construction on sf0.001 -> edges."""
     return q_kg_edges(spark, "/root/testdata/sf0.001")
@@ -1485,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collector_run": q_collector_run,
         "streaming_batch": q_streaming_batch,
         "revision_fast_path": q_revision_fast_path,
+        "generalization": q_generalization,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_stats": q_doc_stats,
         "doc_ngram_dups": q_doc_ngram_dups,
@@ -1542,6 +1607,7 @@ def oracle_sql() -> dict[str, str]:
         "knowledge_types": oracle.q_knowledge_types(),
         "collector_run": oracle.q_collector_run(),
         "revision_fast_path": oracle.q_revision_fast_path(),
+        "generalization": oracle.q_generalization(),
         "doc_exact_dedup": oracle_docs.q_doc_exact_dedup(),
         "doc_stats": oracle_docs.q_doc_stats(),
         "doc_ngram_dups": oracle_docs.q_doc_ngram_dups(),

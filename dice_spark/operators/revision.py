@@ -252,10 +252,33 @@ def revise(
             )
 
         ident_rows = _fold(im, 0.3, 0.99, 0.7, "MERGED", rank=1)
+        # GENERALIZES (classifiedToResult priority: identical > contradictory
+        # > generalizes > similar, LlmPropositionReviser.kt:484-558): an
+        # incoming abstraction is stored as-is with outcome GENERALIZED, the
+        # covered existing rows stay untouched, and the incoming never
+        # reinforces (generalization is not a conflict and not evidence).
+        generalized_inc = (
+            cls.filter(F.col("relation") == "GENERALIZES")
+            .select("new_id")
+            .distinct()
+            .join(ident_new_ids, "new_id", "left_anti")
+            .join(
+                cls.filter(F.col("relation") == "CONTRADICTORY").select("new_id").distinct(),
+                "new_id",
+                "left_anti",
+            )
+            .withColumnRenamed("new_id", "prop_id")
+        )
         # SIMILAR below the floor is treated UNRELATED (:85,487-501).
-        reinforce = cls.filter(
-            (F.col("relation") == "SIMILAR") & (F.col("similarity") >= MIN_SIMILARITY_FOR_REINFORCE)
-        ).join(ident_new_ids, "new_id", "left_anti")
+        reinforce = (
+            cls.filter(
+                (F.col("relation") == "SIMILAR") & (F.col("similarity") >= MIN_SIMILARITY_FOR_REINFORCE)
+            )
+            .join(ident_new_ids, "new_id", "left_anti")
+            .join(
+                generalized_inc.withColumnRenamed("prop_id", "new_id"), "new_id", "left_anti"
+            )
+        )
         contradict = cls.filter(F.col("relation") == "CONTRADICTORY").join(
             ident_new_ids, "new_id", "left_anti"
         )
@@ -373,15 +396,23 @@ def revise(
     else:
         touched = merged_ex_ids.limit(0)
         consumed_inc = merged_inc_ids.limit(0)
+        generalized_inc = merged_inc_ids.limit(0)
         extra = []
 
     untouched_ex = rest_ex.join(touched, "prop_id", "left_anti").select(
         "prop_id", "context_id", "text", "confidence", "decay", "pinned", "status",
         "reinforce_count", "grounding", F.lit("UNCHANGED").alias("revision_outcome"),
     )
-    new_rows = rest_inc.join(consumed_inc, "prop_id", "left_anti").select(
-        "prop_id", "context_id", "text", "confidence", "decay", "pinned", "status",
-        "reinforce_count", "grounding", F.lit("NEW").alias("revision_outcome"),
+    new_rows = (
+        rest_inc.join(consumed_inc, "prop_id", "left_anti")
+        .join(
+            F.broadcast(generalized_inc.withColumn("_gen", F.lit(1))), "prop_id", "left"
+        )
+        .select(
+            "prop_id", "context_id", "text", "confidence", "decay", "pinned", "status",
+            "reinforce_count", "grounding",
+            F.when(F.col("_gen") == 1, "GENERALIZED").otherwise("NEW").alias("revision_outcome"),
+        )
     )
     out = merged_rows
     for df in extra:
@@ -567,7 +598,9 @@ def entity_overlap_prefilter(candidate_pairs: DataFrame, mentions_a: DataFrame, 
     )
 
 
-def classify_pairs_udf(pairs_with_text: DataFrame) -> DataFrame:
+def classify_pairs_udf(
+    pairs_with_text: DataFrame, detect_generalizes: bool = False
+) -> DataFrame:
     """The batched classification UDF seam (classifyBatch, :372-456).
 
     Input rows: (existing_id, new_id, existing_text, new_text). Deterministic
@@ -575,6 +608,13 @@ def classify_pairs_udf(pairs_with_text: DataFrame) -> DataFrame:
     SIMILAR (>=0.5) / CONTRADICTORY (negation mismatch) / UNRELATED. A real
     LLM classifier replaces the body; the seam (grouped Arrow batches,
     integer-indexed pairs) is the engine contract.
+
+    ``detect_generalizes=True`` adds the GENERALIZES label
+    (PropositionRelation.GENERALIZES, :658): the new text's token set is a
+    strict nonempty subset of the existing's (less specific = covers it),
+    with no negation mismatch and below the identical bar. Identical and
+    contradictory still outrank it; off by default so the rule is an
+    explicit opt-in like the reference's prompt-driven label.
     """
     import pandas as pd
 
@@ -600,6 +640,11 @@ def classify_pairs_udf(pairs_with_text: DataFrame) -> DataFrame:
             neg_b = pdf["new_text"].str.lower().str.contains(r"\b(?:not|never|no longer)\b", regex=True)
             relation = pd.Series("UNRELATED", index=pdf.index)
             relation[(sim >= 0.5)] = "SIMILAR"
+            if detect_generalizes:
+                subset = pd.Series(
+                    [len(y) > 0 and y < x for x, y in zip(ta, tb)], index=pdf.index
+                )
+                relation[subset & (sim < 0.999) & ~(neg_a != neg_b)] = "GENERALIZES"
             relation[(sim >= 0.999)] = "IDENTICAL"
             relation[(sim >= 0.5) & (neg_a != neg_b)] = "CONTRADICTORY"
             out = pdf[["existing_id", "new_id"]].copy()

@@ -2394,3 +2394,152 @@ SELECT existing_id, variant,
        CASE WHEN cos >= {auto_merge} THEN cos END AS cosine
 FROM rfp_cos
 """
+
+
+def q_generalization() -> str:
+    """GENERALIZES revision oracle (mirror of revision.revise with
+    classify_pairs_udf(detect_generalizes=True)): incoming abstractions are
+    the hex-0 slice's sentences with the final word dropped (strict token
+    subsets); priority identical > contradictory > generalizes > similar per
+    incoming; GENERALIZED incoming stores as-is, covered existing stays
+    UNCHANGED and unreinforced."""
+    canon = duckdb_canonicalize_text_sql("text")
+    toks = (
+        "list_distinct(list_filter(str_split_regex("
+        "regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+'), t -> t <> ''))"
+    )
+    neg = "regexp_matches(lower(text), '\\b(not|never|no longer)\\b')"
+    return base_ctes() + f""",
+gex AS MATERIALIZED (
+  SELECT prop_id, text, subj_span, obj_span, confidence, decay,
+         {canon} AS canon, {toks} AS toks, {neg} AS neg
+  FROM propositions
+),
+ginc AS MATERIALIZED (
+  SELECT md5('{CTX}' || '|gen|' || text) AS prop_id, text, subj_span,
+         confidence, decay, {canon} AS canon, {toks} AS toks, {neg} AS neg
+  FROM (
+    SELECT text, min(subj_span) AS subj_span,
+           round(min(confidence), 6) AS confidence,
+           round(min(decay), 6) AS decay
+    FROM (
+      SELECT regexp_replace(text, '\\s+\\S+\\.$', '.') AS text,
+             subj_span, confidence, decay
+      FROM propositions WHERE substr(prop_id, 1, 1) = '0'
+    ) WHERE length(text) > 1
+    GROUP BY text
+  )
+),
+gpairs AS MATERIALIZED (
+  SELECT DISTINCT e.prop_id AS existing_id, i.prop_id AS new_id
+  FROM (SELECT prop_id, lower(subj_span) AS k FROM gex
+        UNION ALL SELECT prop_id, lower(obj_span) FROM gex) e
+  JOIN (SELECT prop_id, lower(subj_span) AS k FROM ginc
+        WHERE subj_span IS NOT NULL) i ON e.k = i.k
+),
+gcls AS MATERIALIZED (
+  SELECT existing_id, new_id,
+         CASE WHEN sim >= 0.5 AND neg_a <> neg_b THEN 'CONTRADICTORY'
+              WHEN sim >= 0.999 THEN 'IDENTICAL'
+              WHEN nb > 0 AND ib = nb AND na > nb AND NOT (neg_a <> neg_b)
+                   THEN 'GENERALIZES'
+              WHEN sim >= 0.5 THEN 'SIMILAR'
+              ELSE 'UNRELATED' END AS relation,
+         round(sim, 6) AS similarity
+  FROM (
+    SELECT p.existing_id, p.new_id,
+           len(list_intersect(a.toks, b.toks)) AS ib,
+           len(a.toks) AS na, len(b.toks) AS nb,
+           len(list_intersect(a.toks, b.toks))
+             / greatest(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)), 1)::double AS sim,
+           a.neg AS neg_a, b.neg AS neg_b
+    FROM gpairs p
+    JOIN gex a ON a.prop_id = p.existing_id
+    JOIN ginc b ON b.prop_id = p.new_id
+  )
+),
+gmerged AS (
+  SELECT e.prop_id AS e_id, i.prop_id AS i_id,
+         round(least(e.confidence + 0.3 * i.confidence, 0.99), 6) AS confidence
+  FROM gex e JOIN ginc i ON e.canon = i.canon
+),
+grest_ex AS (SELECT * FROM gex ANTI JOIN (SELECT e_id AS prop_id FROM gmerged) USING (prop_id)),
+grest_inc AS (SELECT * FROM ginc ANTI JOIN (SELECT i_id AS prop_id FROM gmerged) USING (prop_id)),
+gident_one AS (
+  SELECT * FROM (
+    SELECT c.*, row_number() OVER (PARTITION BY new_id ORDER BY existing_id) AS irn
+    FROM gcls c WHERE relation = 'IDENTICAL'
+  ) WHERE irn = 1
+),
+ggen_inc AS (
+  SELECT DISTINCT new_id FROM gcls WHERE relation = 'GENERALIZES'
+    AND new_id NOT IN (SELECT new_id FROM gident_one)
+    AND new_id NOT IN (SELECT new_id FROM gcls WHERE relation = 'CONTRADICTORY')
+),
+gident_pairs AS (
+  SELECT c.existing_id, c.new_id, i.confidence AS i_conf
+  FROM gident_one c
+  JOIN grest_ex e ON e.prop_id = c.existing_id
+  JOIN grest_inc i ON i.prop_id = c.new_id
+),
+gident_m AS (
+  SELECT p.existing_id AS e_id, min(p.new_id) AS hit,
+         round(least(any_value(e.confidence) + 0.3 * sum(p.i_conf), 0.99), 6) AS confidence
+  FROM gident_pairs p JOIN grest_ex e ON e.prop_id = p.existing_id
+  GROUP BY p.existing_id
+),
+greinforce_pairs AS (
+  SELECT c.existing_id, c.new_id, i.confidence AS i_conf
+  FROM gcls c
+  JOIN grest_ex e ON e.prop_id = c.existing_id
+  JOIN grest_inc i ON i.prop_id = c.new_id
+  WHERE c.relation = 'SIMILAR' AND c.similarity >= 0.7
+    AND c.new_id NOT IN (SELECT new_id FROM gident_one)
+    AND c.new_id NOT IN (SELECT new_id FROM ggen_inc)
+),
+greinforced AS (
+  SELECT p.existing_id AS e_id, min(p.new_id) AS hit,
+         round(least(any_value(e.confidence) + 0.1 * sum(p.i_conf), 0.95), 6) AS confidence
+  FROM greinforce_pairs p JOIN grest_ex e ON e.prop_id = p.existing_id
+  GROUP BY p.existing_id
+),
+gcontradicted AS (
+  SELECT e.prop_id AS e_id, min(c.new_id) AS hit,
+         round(greatest(any_value(e.confidence) * 0.3, 0.05), 6) AS confidence
+  FROM gcls c JOIN grest_ex e ON e.prop_id = c.existing_id
+  JOIN grest_inc i ON i.prop_id = c.new_id
+  WHERE c.relation = 'CONTRADICTORY'
+    AND c.new_id NOT IN (SELECT new_id FROM gident_one)
+  GROUP BY e.prop_id
+),
+ghits AS (
+  SELECT e_id, 1 AS rank, hit, confidence, 'MERGED' AS revision_outcome FROM gident_m
+  UNION ALL SELECT e_id, 2, hit, confidence, 'CONTRADICTED' FROM gcontradicted
+  UNION ALL SELECT e_id, 3, hit, confidence, 'REINFORCED' FROM greinforced
+),
+ghit_one AS (
+  SELECT * FROM (
+    SELECT h.*, row_number() OVER (PARTITION BY e_id ORDER BY rank, hit) AS hrn
+    FROM ghits h
+  ) WHERE hrn = 1
+),
+gtouched AS (SELECT DISTINCT e_id AS prop_id FROM ghits),
+gunchanged AS (SELECT * FROM grest_ex ANTI JOIN gtouched USING (prop_id)),
+gconsumed AS (
+  SELECT DISTINCT new_id AS prop_id FROM greinforce_pairs
+  UNION SELECT new_id FROM gident_pairs
+),
+gnew AS (
+  SELECT r.*, CASE WHEN r.prop_id IN (SELECT new_id FROM ggen_inc)
+                   THEN 'GENERALIZED' ELSE 'NEW' END AS revision_outcome
+  FROM (SELECT * FROM grest_inc ANTI JOIN gconsumed USING (prop_id)) r
+),
+goutcomes AS (
+  SELECT 'MERGED' AS revision_outcome, confidence FROM gmerged
+  UNION ALL SELECT revision_outcome, confidence FROM ghit_one
+  UNION ALL SELECT 'UNCHANGED', confidence FROM gunchanged
+  UNION ALL SELECT revision_outcome, confidence FROM gnew
+)
+SELECT revision_outcome, count(*) AS n, round(sum(confidence), 6) AS sum_conf
+FROM goutcomes GROUP BY 1
+"""

@@ -369,3 +369,45 @@ def test_additional_grounding_enrichment(spark):
     assert list(out["p2"]["grounding"]) == ["g2"]
     # the new (incoming) side of the contradiction carries the extra id
     assert "email:t1" in list(out["n2"]["grounding"])
+
+
+def test_generalizes_classification_and_priority(spark):
+    """GENERALIZES (PropositionRelation.GENERALIZES; classifiedToResult
+    priority identical > contradictory > generalizes > similar,
+    LlmPropositionReviser.kt:484-558): a strict-token-subset incoming
+    classifies GENERALIZES when the rule is enabled, and the revise outcome
+    stores it GENERALIZED without reinforcing the covered existing."""
+    pairs = spark.createDataFrame(
+        [
+            ("e1", "g1", "Alice likes juicy red apples.", "Alice likes apples."),
+            ("e2", "g2", "Alice likes apples.", "Alice likes apples!"),  # identical
+            ("e3", "g3", "Alice likes red apples.", "Alice never likes apples."),
+        ],
+        "existing_id string, new_id string, existing_text string, new_text string",
+    )
+    got = {r["new_id"]: r["relation"] for r in classify_pairs_udf(pairs, detect_generalizes=True).collect()}
+    assert got == {"g1": "GENERALIZES", "g2": "IDENTICAL", "g3": "CONTRADICTORY"}
+    # off by default: the subset pair stays SIMILAR
+    off = {r["new_id"]: r["relation"] for r in classify_pairs_udf(pairs).collect()}
+    assert off["g1"] == "SIMILAR"
+
+
+def test_revise_generalized_outcome(spark):
+    existing = _props(spark, [
+        ("e1", "c", "Alice likes juicy red apples.", 0.9, 0.1, False, "ACTIVE", 0, ["g1"]),
+    ])
+    incoming = _props(spark, [
+        ("n1", "c", "Alice likes apples.", 0.8, 0.2, False, "ACTIVE", 0, ["g2"]),
+    ])
+    pairs = spark.createDataFrame(
+        [("e1", "n1")], "existing_id string, new_id string"
+    ).join(existing.select(F.col("prop_id").alias("existing_id"), F.col("text").alias("existing_text")), "existing_id") \
+     .join(incoming.select(F.col("prop_id").alias("new_id"), F.col("text").alias("new_text")), "new_id")
+    cls = classify_pairs_udf(pairs, detect_generalizes=True)
+    out = {r["prop_id"]: r for r in revise(existing, incoming, classified_pairs=cls).collect()}
+    # existing untouched (generalization is not a conflict, :556-558);
+    # incoming stored as the new abstraction
+    assert out["e1"]["revision_outcome"] == "UNCHANGED"
+    assert abs(out["e1"]["confidence"] - 0.9) < 1e-9
+    assert out["n1"]["revision_outcome"] == "GENERALIZED"
+    assert abs(out["n1"]["confidence"] - 0.8) < 1e-9
