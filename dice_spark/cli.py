@@ -111,10 +111,14 @@ def main(argv: list[str] | None = None) -> int:
     }
     # Durable per-stage counter metrics alongside the lineage (one row per
     # run) — the audit trail a rerun or a monitor reads without re-counting.
+    # The row is a dict so Spark binds values to schema fields by NAME
+    # (StructType.toInternal uses obj.get(name) for dicts); adding or
+    # reordering a counter key can't silently shift values between the
+    # all-long columns the way a positional tuple could.
     wh.append(
         "stage_counters",
         spark.createDataFrame(
-            [tuple(counters.values()) + (None,)],
+            [{**counters, "finished_at": None}],
             "run_id string, context_id string, n_turns long, n_chunks long,"
             " n_triples long, n_propositions long, n_entities long,"
             " n_edges long, finished_at timestamp",

@@ -149,7 +149,15 @@ def contrast_groups(
     )
 
     cols = ["prop_id", "context_id", "decay", "level"]
-    allp = group_a.select(*cols).unionByName(group_b.select(*cols))
+    # Groups are arbitrary caller filters and may overlap; a proposition in
+    # both would match the exploded source_ids join twice (doubling
+    # n_sources, biasing avg_decay and the modal context), so the union is
+    # distinct by prop_id.
+    allp = (
+        group_a.select(*cols)
+        .unionByName(group_b.select(*cols))
+        .dropDuplicates(["prop_id"])
+    )
 
     # level' = max(level)+1 over A ∪ B (LlmPropositionContraster.kt:146-148)
     lvl = allp.agg((F.coalesce(F.max("level"), F.lit(0)) + 1).alias("new_level"))

@@ -88,16 +88,27 @@ class JsonWarehouse(Warehouse):
     backend persists the whole store as a JSON document and commits via
     write-temp-then-atomic-rename (:215-222). Here each commit writes a new
     JSON-lines snapshot directory and atomically flips the ``_current``
-    pointer — same durability contract, same human-inspectable format, while
-    read/merge/append semantics are inherited unchanged from the parquet
-    warehouse. Parquet stays the scale backend; this one exists so a
+    pointer — same durability contract, same human-inspectable format.
+
+    JSON carries no schema, so each commit persists ``df.schema.json()`` in
+    the ``_current`` pointer and ``read`` replays it via
+    ``spark.read.schema(...)``. Without this, inference degrades the store on
+    round-trip: timestamps come back as strings (and a later merge/append
+    unions string vs timestamp, coercing the whole column), all-null columns
+    vanish from the output, and an empty table is unreadable (nothing to
+    infer from). Parquet stays the scale backend; this one exists so a
     reference user's local JSON workflow has a drop-in equivalent.
     """
 
     def read(self, name: str) -> DataFrame:
         with open(self._pointer(name)) as f:
-            snap = json.load(f)["snapshot"]
-        return self.spark.read.json(os.path.join(self._table_dir(name), snap))
+            ptr = json.load(f)
+        reader = self.spark.read
+        if "schema" in ptr:
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(ptr["schema"])))
+        return reader.json(os.path.join(self._table_dir(name), ptr["snapshot"]))
 
     def _commit(self, name: str, df: DataFrame) -> None:
         tdir = self._table_dir(name)
@@ -106,7 +117,7 @@ class JsonWarehouse(Warehouse):
         df.write.mode("overwrite").json(os.path.join(tdir, snap))
         tmp = self._pointer(name) + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"snapshot": snap}, f)
+            json.dump({"snapshot": snap, "schema": df.schema.json()}, f)
         os.replace(tmp, self._pointer(name))  # atomic snapshot flip
 
 

@@ -96,3 +96,21 @@ def test_default_contraster_pair_cap_bounds_head_predicate(spark):
     gb = _group(spark, [(f"b{i}", "c", f"tb{i}", "likes", "B", f"ob{i}", 0.5 + i / 100.0, 0.1, 0) for i in range(20)])
     pairs = default_contraster(ga, gb, "A", "B", target_count=10_000)
     assert pairs.count() == 64  # PAIR_CAP=8 per side
+
+
+def test_contrast_overlapping_groups_count_shared_prop_once(spark):
+    # a2 belongs to BOTH caller-filtered groups; the exploded source join
+    # must still count it once (n_sources=2, decay = avg of the pair).
+    shared = ("a2", "ctx1", "Alice likes Python.", "likes", "Alice", "Python", 0.8, 0.4, 1)
+    ga = _group(spark, [shared])
+    gb = _group(spark, [
+        shared,
+        ("b2", "ctx2", "Bob likes Java.", "likes", "Bob", "Java", 0.95, 0.2, 0),
+    ])
+    out = contrast_groups(ga, gb, "Alice", "Bob", 10).collect()
+    by_text = {r["text"]: r for r in out}
+    r = by_text["Alice likes Python whereas Bob likes Java."]
+    assert r["n_sources"] == 2
+    assert abs(r["decay"] - 0.3) < 1e-9  # (0.4 + 0.2) / 2, a2 not doubled
+    # level = max over the DISTINCT union (1) + 1
+    assert r["level"] == 2

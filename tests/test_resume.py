@@ -147,3 +147,38 @@ def test_json_warehouse_merge_round_trip(spark, tmp_path):
     assert snap_files
     line = open(snap_files[0]).readline()
     assert line.strip().startswith("{") and _json.loads(line)
+
+
+def test_json_warehouse_schema_round_trip(spark, tmp_path):
+    """The _current pointer persists df.schema.json(), so a JSON round-trip
+    keeps timestamp types (no string coercion on a later merge), keeps
+    all-null columns, and can read back a committed EMPTY table — the three
+    cases bare spark.read.json inference gets wrong."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from dice_spark.storage import make_warehouse
+
+    wh = make_warehouse(spark, str(tmp_path / "jwh2"), backend="json")
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("nul", T.DoubleType()),
+        ]
+    )
+    ts = datetime.datetime(2026, 1, 2, 3, 4, 5)
+    wh.overwrite("t", spark.createDataFrame([("a", ts, None)], schema))
+    back = wh.read("t")
+    assert back.schema == schema  # timestamp stays timestamp, null col kept
+    assert back.collect()[0]["ts"] == ts
+    # merge after round-trip must not union string vs timestamp
+    wh.merge("t", spark.createDataFrame([("b", ts, 1.5)], schema), keys=["k"])
+    merged = wh.read("t")
+    assert merged.schema["ts"].dataType == T.TimestampType()
+    assert merged.count() == 2
+    # an empty committed table (e.g. a batch with zero edges) reads back
+    wh.overwrite("empty", spark.createDataFrame([], schema))
+    assert wh.read("empty").count() == 0
+    assert wh.read("empty").schema == schema
