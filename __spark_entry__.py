@@ -1188,6 +1188,47 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vector_linking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linking ladder's VECTOR tier over REAL embedding vectors
+    (VectorCandidateSearcher.kt:39-44 against an embedding repository):
+    mentions and registry entities carry array<float> embedding columns from
+    embeddings.parquet; the synthetic names are letter-disjoint so every
+    name tier whiffs and resolution is decided by the hyperplane-bucket
+    candidate join + cosine >=0.95 exactly-one rule. Each query vector's own
+    registry row sits at cosine 1.0, so a mention resolves VECTOR unless a
+    near-parallel second candidate makes it ambiguous (NO_MATCH — the
+    bakeoff letter-cosine scores 0 on disjoint names). DuckDB mirrors the
+    seeded planes as literals (oracle_docs.q_vector_linking)."""
+    from dice_spark.operators.linking import resolve_against_entities
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    ents = emb.select(
+        F.concat(F.lit("E"), F.col("vec_id").cast("string")).alias("entity_id"),
+        F.concat(F.lit("v"), F.col("vec_id").cast("string"), F.lit("z")).alias(
+            "canonical_name"
+        ),
+        F.lit("vector").alias("entity_type"),
+        "embedding",
+    )
+    mentions = emb.filter(F.col("vec_id") < 40).select(
+        F.concat(F.lit("q"), F.col("vec_id").cast("string"), F.lit("x")).alias("span"),
+        F.lit("vector").alias("entity_type"),
+        F.col("embedding").alias("m_embedding"),
+    )
+    out = resolve_against_entities(
+        mentions,
+        ents,
+        vector_tier=True,
+        vector_bucket_planes=4,
+        mention_vec_col="m_embedding",
+        entity_vec_col="embedding",
+        embedding_dim=64,
+    )
+    return out.select("span", "resolved_id", "resolution_level")
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") < 10)
@@ -1348,12 +1389,19 @@ def q_streaming_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreachBatch sink over the incremental window/ledger contract,
     AbstractIncrementalAnalyzer.kt:75-162): the transcripts split into two
     deterministic micro-batches by conv_id hash; each batch MERGEs turns,
-    assembles triggered windows against bookmarks, anti-joins the content
-    ledger, runs the pipeline, and MERGEs propositions/entities/edges plus
-    domain events. Returns per-table and per-event-type counts of the final
-    warehouse. Genuinely non-SQL-expressible (stateful micro-batch loop) —
-    registered without an oracle, so the driver records the weaker rows-only
-    check."""
+    drains every triggered window against the bookmarks, anti-joins the
+    content ledger, runs the pipeline, and MERGEs propositions/entities/edges
+    plus domain events. Returns the final warehouse's EDGES table in kg_edges
+    shape: because draining makes the incremental ladder reproduce
+    assemble_windows' stride tiling exactly (single-path guarantee,
+    AbstractIncrementalAnalyzer.kt:109-162), the streamed warehouse is
+    value-identical to the batch engine and is checked against the same
+    DuckDB oracle as kg_edges — a full rows+schema+hash gate, upgraded from
+    the old rows-only count probe. trigger=1 is drain mode: the batch engine
+    processes every turn, so the parity run must too (at the default
+    trigger=4 a sub-trigger conversation tail stays pending by design).
+    Stream-vs-batch parity over props/entities/edges is additionally
+    pytest-asserted (tests/test_streaming.py::test_stream_batch_value_parity)."""
     import shutil
     import tempfile
 
@@ -1362,29 +1410,16 @@ def q_streaming_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "role", "text")
     root = tempfile.mkdtemp(prefix="dice_stream_q_")
     try:
-        pipe = StreamingPipeline(spark, root, context_id=CTX)
+        pipe = StreamingPipeline(spark, root, context_id=CTX, trigger=1)
         for i in (0, 1):
             pipe.process_batch(
                 tr.filter(F.crc32("conv_id") % 2 == i).localCheckpoint(eager=True), i
             )
-        wh = pipe.wh
-        parts = []
-        for table in ("turns", "propositions", "entities", "edges"):
-            parts.append(
-                wh.read(table).agg(
-                    F.lit(f"table:{table}").alias("relation"),
-                    F.count(F.lit(1)).alias("n"),
-                )
-            )
-        events = wh.read("events").groupBy(
-            F.concat(F.lit("event:"), "event_type").alias("relation")
-        ).agg(F.count(F.lit(1)).alias("n"))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        rows = out.unionByName(events).orderBy("relation").collect()
-        # materialize BEFORE the temp warehouse disappears; tiny fixed-size relation
-        return spark.createDataFrame(rows, "relation string, n long")
+        # materialize BEFORE the temp warehouse directory disappears
+        return pipe.wh.read("edges").select(
+            "source_id", "target_id", "edge_type", "confidence", "description",
+            F.col("n_source_props").alias("n_props"), "edge_ref",
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -1560,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_plan": q_frame_plan,
         "ingestion_outcomes": q_ingestion_outcomes,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "vector_linking": q_vector_linking,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
     }
@@ -1573,6 +1609,9 @@ def oracle_sql() -> dict[str, str]:
         "propositions": oracle.q_propositions(),
         "entities": oracle.q_entities(),
         "kg_edges": oracle.q_edges(),
+        # the drained stream warehouse is value-identical to the batch engine
+        # (single-path guarantee), so it shares the batch edges oracle
+        "streaming_batch": oracle.q_edges(),
         "projection_lineage": oracle.q_projection_lineage(),
         "stale_cascade": oracle.q_stale_cascade(),
         "grounding_wiring": oracle.q_grounding_wiring(),
@@ -1618,6 +1657,7 @@ def oracle_sql() -> dict[str, str]:
         "frame_plan": oracle_docs.q_frame_plan(),
         "ingestion_outcomes": oracle_docs.q_ingestion_outcomes(),
         "ann_lsh_topk": oracle_docs.q_ann_lsh_topk(),
+        "vector_linking": oracle_docs.q_vector_linking(),
         "ann_topk": oracle_docs.q_ann_topk(),
         "ann_ivf_topk": oracle_docs.q_ann_ivf_topk(),
     }

@@ -72,6 +72,18 @@ def assemble_windows(
             (F.max("turn_idx") + 1).cast("int").alias("window_end"),
             F.count(F.lit(1)).cast("int").alias("n_turns"),
         )
+        # Drop overlap-only sliver windows: when a conversation ends within
+        # the overlap region of its last full window (size <= w*stride +
+        # overlap), window w would contain ONLY turns the previous window
+        # already covers — pure re-analysis that double-reinforces its
+        # propositions. The reference's incremental ladder (start =
+        # last_end - overlap, AbstractIncrementalAnalyzer.kt:109-162) never
+        # emits such a window, and the streaming sink's single-path parity
+        # with this batch tiling depends on both agreeing. Turn indexes are
+        # dense per conversation, so n_turns <= overlap on a w >= 1 window
+        # is exactly the sliver condition. (Filter runs post-aggregation —
+        # the groupBy shuffle already happened, so it costs nothing.)
+        .filter(~((F.col("window_id") >= 1) & (F.col("n_turns") <= F.lit(overlap))))
     )
 
     rendered = F.concat_ws(

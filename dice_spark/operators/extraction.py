@@ -356,6 +356,13 @@ def triples_to_propositions(triples: DataFrame, context_id: str) -> DataFrame:
         F.round(conf, 6).alias("confidence"),
         F.round(dec, 6).alias("decay"),
         (F.col("occurrences") - 1).cast("int").alias("reinforce_count"),
+        # Un-rounded per-occurrence values: the streaming sink's cross-batch
+        # reinforcement fold recomputes confidence/decay from these with the
+        # SAME formula over the combined occurrence count, so incremental
+        # merges are bit-identical to a single batch run (the rounded outputs
+        # above are not invertible once the 0.99 cap binds).
+        F.col("base_confidence"),
+        F.col("base_decay"),
         "grounding",
         "source_ids",
         F.lit("ACTIVE").alias("status"),

@@ -142,6 +142,9 @@ def resolve_against_entities(
     vector_bucket_planes: int | None = 4,
     schema: DataFrame | None = None,
     debug_timings: dict | None = None,
+    mention_vec_col: str | None = None,
+    entity_vec_col: str | None = None,
+    embedding_dim: int | None = None,
 ) -> DataFrame:
     """Resolve mention surface forms against an existing entity registry.
 
@@ -157,6 +160,14 @@ def resolve_against_entities(
     score >= BAKEOFF_ACCEPT resolves as BAKEOFF (entity_id tie-break). Off by
     default: the reference only adds this searcher when an embedding
     repository is configured.
+
+    mention_vec_col / entity_vec_col: names of REAL embedding array columns
+    (array<float|double>) on the two relations. When both are set (with
+    ``embedding_dim``), the vector tier buckets and scores those vectors —
+    the shape VectorCandidateSearcher.kt:39-44 runs against its embedding
+    repository — instead of the letter-count stand-in derived from the name
+    keys. Same hyperplane-bucket join, same thresholds, same exactly-one
+    rule; only the vector source changes.
     """
     def _mat(name: str, df: DataFrame) -> DataFrame:
         # Per-tier attribution hook: eager-materialize each tier and record
@@ -192,6 +203,11 @@ def resolve_against_entities(
         )
     if "source_text" in mentions.columns:
         aggs.append(F.min("source_text").alias("source_text"))
+    if mention_vec_col:
+        # any occurrence's vector serves the tier (same surface form -> same
+        # embedding in practice); min on the first component keeps it
+        # deterministic when they differ
+        aggs.append(F.min(mention_vec_col).alias(mention_vec_col))
     if aggs:
         m = m_all.groupBy(*key_cols).agg(*aggs)
     else:
@@ -229,7 +245,11 @@ def resolve_against_entities(
         entities.withColumn("e_norm_name", normalize_name("canonical_name"))
         .withColumn("e_norm_key", norm_key("canonical_name"))
         .withColumn("e_type_key", F.lower("entity_type"))
-        .select("entity_id", F.col("canonical_name").alias("e_name"), "e_norm_name", "e_norm_key", "e_type_key")
+        .select(
+            "entity_id", F.col("canonical_name").alias("e_name"),
+            "e_norm_name", "e_norm_key", "e_type_key",
+            *([entity_vec_col] if entity_vec_col else []),
+        )
     ).alias("e")
     mention_keys = ["span", "type_key"]
 
@@ -337,18 +357,29 @@ def resolve_against_entities(
         # word-reorder case this tier exists for: permuted names have
         # IDENTICAL letter-count embeddings, hence identical buckets.
         # vector_bucket_planes=None restores the exhaustive type-only join.
+        use_real_vectors = bool(mention_vec_col and entity_vec_col)
+        if use_real_vectors and embedding_dim is None:
+            raise ValueError("embedding_dim is required with mention/entity vec cols")
+        if use_real_vectors:
+            m_vec = F.col(f"m.{mention_vec_col}")
+            e_vec = F.col(f"e.{entity_vec_col}")
+            vec_dim = embedding_dim
+        else:
+            m_vec = char_embedding(F.col("m.norm_key"))
+            e_vec = char_embedding(F.col("e.e_norm_key"))
+            vec_dim = len(_LETTERS)
         cand_cond = F.col("m.type_key") == F.col("e.e_type_key")
         if vector_bucket_planes:
             from dice_spark.operators.dedup import hyperplane_bucket, hyperplane_planes
 
-            planes = hyperplane_planes(
-                len(_LETTERS), vector_bucket_planes, seed=42
-            )
+            planes = hyperplane_planes(vec_dim, vector_bucket_planes, seed=42)
             cand_cond = cand_cond & (
-                hyperplane_bucket(char_embedding(F.col("m.norm_key")), planes)
-                == hyperplane_bucket(char_embedding(F.col("e.e_norm_key")), planes)
+                hyperplane_bucket(m_vec, planes)
+                == hyperplane_bucket(e_vec, planes)
             )
-        cos = F.round(cosine_of_keys(F.col("m.norm_key"), F.col("e.e_norm_key")), 6)
+        from dice_spark.operators.dedup import cosine_expr
+
+        cos = F.round(cosine_expr(m_vec, e_vec), 6)
         cand = (
             unresolved_4.join(ents, cand_cond)
             .withColumn("_cos", cos)

@@ -67,12 +67,16 @@ winturns AS (
   WHERE turn_idx % {STRIDE} < {OVERLAP_SIZE} AND turn_idx // {STRIDE} > 0
 ),
 chunks AS (
+  -- HAVING drops overlap-only sliver windows (conversation ends inside the
+  -- previous window's overlap region) — mirrors assemble_windows' filter,
+  -- which matches the incremental ladder's tiling.
   SELECT conv_id, window_id,
          min(turn_idx) AS window_start,
          max(turn_idx) + 1 AS window_end,
          count(*) AS n_turns,
          string_agg(role || ': ' || text, chr(10)||chr(10) ORDER BY turn_idx) AS text
   FROM winturns GROUP BY conv_id, window_id
+  HAVING NOT (window_id >= 1 AND count(*) <= {OVERLAP_SIZE})
 ),
 matched AS (
   SELECT w.conv_id, w.window_id, w.turn_idx, w.text AS sentence,

@@ -369,3 +369,51 @@ SELECT query_id, vec_id,
 FROM scored
 QUALIFY rank <= {k}
 """
+
+
+def q_vector_linking(n_planes: int = 4, dim: int = 64, n_queries: int = 40) -> str:
+    """VECTOR-tier linking oracle over REAL embedding vectors (mirror of
+    linking.resolve_against_entities with mention/entity vec cols): mentions
+    are embeddings rows vec_id < n_queries, the registry is every row; the
+    name tiers cannot fire (letter-disjoint synthetic names), so resolution
+    is exactly the hyperplane-bucket candidate join + the >=0.95 exactly-one
+    auto-accept; non-auto candidates go to the letter-cosine bakeoff, which
+    scores 0 on the disjoint names and never accepts."""
+    from dice_spark.operators.dedup import hyperplane_planes
+
+    planes = hyperplane_planes(dim, n_planes, seed=42)
+
+    def dot(plane):
+        return " + ".join(f"v[{i + 1}] * {plane[i]!r}" for i in range(dim))
+
+    bucket = " || ".join(
+        f"(CASE WHEN ({dot(p)}) >= 0 THEN '1' ELSE '0' END)" for p in planes
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM base),
+e AS (SELECT 'E' || CAST(vec_id AS varchar) AS entity_id, v, bucket FROM b),
+m AS (
+  SELECT 'q' || CAST(vec_id AS varchar) || 'x' AS span, v, bucket
+  FROM b WHERE vec_id < {n_queries}
+),
+cand AS (
+  SELECT m.span, e.entity_id,
+         round(list_cosine_similarity(m.v, e.v), 6) AS cos
+  FROM m JOIN e USING (bucket)
+  WHERE round(list_cosine_similarity(m.v, e.v), 6) >= 0.7
+),
+auto AS (
+  SELECT span, max(entity_id) AS entity_id
+  FROM cand WHERE cos >= 0.95
+  GROUP BY span HAVING count(*) = 1
+)
+SELECT m.span AS span,
+       a.entity_id AS resolved_id,
+       CASE WHEN a.entity_id IS NULL THEN 'NO_MATCH' ELSE 'VECTOR' END
+         AS resolution_level
+FROM m LEFT JOIN auto a USING (span)
+"""

@@ -152,3 +152,52 @@ def test_by_id_ambiguous_suggestions_fall_through(spark):
     rows = resolve_against_entities(mentions, _entities(spark)).collect()
     got = {(r["span"], r["resolution_level"], r["resolved_id"]) for r in rows}
     assert got == {("Hunter Hordern", "EXACT", "e1")}
+
+
+def test_vector_tier_over_real_embedding_columns(spark):
+    """VectorCandidateSearcher over a REAL embedding column
+    (VectorCandidateSearcher.kt:39-44): mention/entity vectors come from
+    array<float> columns instead of the letter-count stand-in; same
+    hyperplane-bucket candidate join, same >=0.95 exactly-one auto-accept,
+    same rejection when two candidates clear the bar."""
+    from pyspark.sql import functions as F
+
+    from dice_spark.operators.linking import resolve_against_entities
+
+    ents = spark.createDataFrame(
+        [
+            ("E1", "vzzq one", "vector", [1.0, 0.0, 0.0, 0.0]),
+            ("E2", "vzzq two", "vector", [0.0, 1.0, 0.0, 0.0]),
+            # E3 nearly parallel to E1 -> a second >=0.95 candidate for m1
+            ("E3", "vzzq three", "vector", [0.999, 0.04, 0.0, 0.0]),
+        ],
+        "entity_id string, canonical_name string, entity_type string, embedding array<float>",
+    )
+    mentions = spark.createDataFrame(
+        [
+            ("qxj one", "vector", [1.0, 0.0, 0.0, 0.0]),     # ambiguous: E1+E3
+            ("qxj two", "vector", [0.0, 1.0, 0.0, 0.0]),     # exactly one: E2
+            ("qxj far", "vector", [0.0, 0.0, 0.0, 1.0]),     # no candidate
+        ],
+        "span string, entity_type string, m_embedding array<float>",
+    )
+    out = {
+        r["span"]: r
+        for r in resolve_against_entities(
+            mentions,
+            ents,
+            vector_tier=True,
+            vector_bucket_planes=2,
+            mention_vec_col="m_embedding",
+            entity_vec_col="embedding",
+            embedding_dim=4,
+        ).collect()
+    }
+    assert out["qxj two"]["resolved_id"] == "E2"
+    assert out["qxj two"]["resolution_level"] == "VECTOR"
+    # two candidates >= 0.95 -> exactly-one rule rejects, bakeoff (letter
+    # cosine of disjoint names) scores 0 -> NO_MATCH
+    assert out["qxj one"]["resolved_id"] is None
+    assert out["qxj one"]["resolution_level"] == "NO_MATCH"
+    assert out["qxj far"]["resolved_id"] is None
+    assert out["qxj far"]["resolution_level"] == "NO_MATCH"

@@ -97,3 +97,59 @@ def test_stream_below_trigger_is_noop(spark, dirs):
     sp.start(inp, ckpt).awaitTermination()
     assert sp.wh.exists("turns")
     assert not sp.wh.exists("edges")
+
+
+def test_stream_drains_multi_window_burst(spark, dirs):
+    """A micro-batch delivering a 42-turn burst must ladder through ALL its
+    windows (the reference's caller pulls analyze() until quiescent,
+    AbstractIncrementalAnalyzer.kt:75-108), not just the first: bookmark
+    reaches the conversation end and the ledger holds one entry per window
+    of the stride tiling ([0,20), [18,38), [36,42))."""
+    inp, ckpt, wh_root = dirs
+    sp = StreamingPipeline(spark, wh_root, context_id="burst")
+    _write_turns(spark, inp, _turns("conv-c", 0, 42))
+    sp.start(inp, ckpt).awaitTermination()
+    bm = max(r.end_index for r in sp.wh.read("bookmarks").collect())
+    assert bm == 42
+    ledger = {
+        (r.conv_id,) for r in sp.wh.read("ledger").collect()
+    }
+    assert sp.wh.read("ledger").count() == 3  # three windows drained
+
+
+def test_stream_batch_value_parity(spark, dirs, tmp_path):
+    """Single-path guarantee (AbstractIncrementalAnalyzer.kt:109-162): the
+    same transcripts run through (a) the batch engine and (b) the streaming
+    foreachBatch sink as three conv-partitioned micro-batches in drain mode
+    (trigger=1) yield VALUE-IDENTICAL propositions, entities and edges — the
+    incremental ladder (start = last_end - overlap) reproduces
+    assemble_windows' stride tiling, content-derived ids line up, and the
+    MERGE keys dedupe cross-batch replays."""
+    from pyspark.sql import functions as F
+
+    from dice_spark.pipeline import run_pipeline
+    from dice_spark.synth import transcripts_from_events
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    tr = (
+        transcripts_from_events(events)
+        .select("conv_id", "turn_idx", "role", "text")
+        .localCheckpoint(eager=True)
+    )
+    batch = run_pipeline(tr, context_id="par", use_udf_extractor=True)
+
+    sp = StreamingPipeline(spark, str(tmp_path / "wh_par"), context_id="par", trigger=1)
+    for i in (0, 1, 2):
+        sp.process_batch(
+            tr.filter(F.crc32("conv_id") % 3 == i).localCheckpoint(eager=True), i
+        )
+
+    def vals(df, cols):
+        return {tuple(r) for r in df.select(*cols).collect()}
+
+    pcols = ["prop_id", "text", "predicate", "confidence", "decay"]
+    ecols = ["entity_id", "canonical_name", "entity_type"]
+    gcols = ["edge_ref", "source_id", "target_id", "edge_type", "confidence", "n_source_props"]
+    assert vals(batch["propositions"], pcols) == vals(sp.wh.read("propositions"), pcols)
+    assert vals(batch["entities"], ecols) == vals(sp.wh.read("entities"), ecols)
+    assert vals(batch["edges"], gcols) == vals(sp.wh.read("edges"), gcols)
