@@ -119,6 +119,50 @@ def transcripts_from_events(events: DataFrame) -> DataFrame:
     )
 
 
+def skewed_transcripts_from_events(
+    events: "DataFrame", head_mod: int = 20, head_hits: int = 7
+) -> "DataFrame":
+    """Zipf-head variant of ``transcripts_from_events``: ``head_hits`` of every
+    ``head_mod`` events (default 35%) put ONE fixed surface form — "the user"
+    pinned to a first-person mention, mirroring schema_hints.jinja's
+    first-person -> user pinning in the reference — in subject position, so a
+    single entity dominates the mention stream the way the user entity does
+    in real agent transcripts (SURVEY \u00a77 hard-part 1). Everything else
+    (conversation grouping, roles, predicates, objects, surface-variant
+    rotation on the tail subjects) matches the uniform generator, so the same
+    pipeline runs unchanged on the skewed mix."""
+    uid, eid = F.col("user_id"), F.col("event_id")
+    first = _pick(FIRST_NAMES, uid % 8)
+    last = _pick(LAST_NAMES, uid % 7)
+    base = F.concat_ws(" ", first, last)
+    tail_subj = (
+        F.when(eid % 5 == 0, base)
+        .when(eid % 5 == 1, F.concat(F.lit("Dr. "), base))
+        .when(eid % 5 == 2, F.concat(last, F.lit(", "), first))
+        .when(eid % 5 == 3, F.upper(base))
+        .otherwise(F.concat(first, F.lit(" Q. "), last))
+    )
+    subj = F.when(eid % head_mod < head_hits, F.lit("Primary User")).otherwise(tail_subj)
+    pred = _pick([r[0] for r in RELATIONS], eid % 10)
+    obj = (
+        F.when(eid % 3 == 0, F.concat_ws(" ", _pick(FIRST_NAMES, eid % 8), _pick(LAST_NAMES, (eid + 3) % 7)))
+        .when(eid % 3 == 1, _pick(ORGS, eid % 6))
+        .otherwise(_pick(PROJECTS, eid % 4))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        F.concat(F.lit("conv-"), F.lpad(uid.cast("string"), CONV_PAD, "0")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.when(F.col("event_type").isin("click", "purchase", "signup"), "user")
+        .when(F.col("event_type") == "error", "tool")
+        .otherwise("assistant")
+        .alias("role"),
+        F.concat(subj, F.lit(" "), pred, F.lit(" "), obj, F.lit(".")).alias("text"),
+        F.when(F.col("event_type") == "error", "debugger").alias("tool"),
+        F.col("ts"),
+    )
+
+
 def transcripts_cte(events_rel: str = "events") -> str:
     """DuckDB CTE body computing the identical transcripts rows."""
     first = _duck_pick(FIRST_NAMES, "user_id % 8")
