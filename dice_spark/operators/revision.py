@@ -523,6 +523,7 @@ def revise_batch(
     temporal_conflicts: bool = False,
     evolving_predicates=None,
     additional_grounding: list[str] | None = None,
+    detect_generalizes: bool = False,
 ) -> DataFrame:
     """The full revision stage: candidates -> classify seam -> revise.
 
@@ -553,7 +554,20 @@ def revise_batch(
         incoming.select(F.col("prop_id").alias("new_id"), F.col("text").alias("new_text")),
         "new_id",
     )
-    classifier = classifier if classifier is not None else classify_pairs_udf
+    # detect_generalizes turns on the default classifier's GENERALIZES rule
+    # (strict token subset, no negation flip). Default OFF, matching the
+    # reference: the prompt-driven reviser only labels GENERALIZES when the
+    # caller's prompt asks for abstraction handling, and the deterministic
+    # subset rule has a real false-positive mode on elided detail ("Alice
+    # likes apples" generalizes "Alice likes red apples" textually even when
+    # the shorter sentence is just a terser repeat that should REINFORCE).
+    # See tests/test_revision.py::test_generalizes_default_on_golden_batch.
+    if classifier is None:
+        if detect_generalizes:
+            def classifier(p):  # noqa: E731 - tiny wrapper, keeps the seam shape
+                return classify_pairs_udf(p, detect_generalizes=True)
+        else:
+            classifier = classify_pairs_udf
     if use_vector_fast_path:
         auto, to_classify = vector_fast_path(with_text)
         classified = classifier(to_classify).unionByName(

@@ -411,3 +411,66 @@ def test_revise_generalized_outcome(spark):
     assert abs(out["e1"]["confidence"] - 0.9) < 1e-9
     assert out["n1"]["revision_outcome"] == "GENERALIZED"
     assert abs(out["n1"]["confidence"] - 0.8) < 1e-9
+
+
+def test_generalizes_default_on_golden_batch(spark):
+    """Golden fixture for GENERALIZES at default-on (revise_batch(
+    detect_generalizes=True)) exercising the classifiedToResult priority
+    identical > contradictory > generalizes > similar
+    (LlmPropositionReviser.kt:484-558) on ONE batch:
+
+    - n1 strictly abstracts e1 -> GENERALIZED, e1 untouched
+    - n2 is a token subset of e2a AND flips its negation -> contradiction
+      WINS the pair: e2a CONTRADICTED, n2 is the contradiction's new side
+      and is NOT stored GENERALIZED (priority)
+    - n3 is a terser repeat of e3 (subset, sim < 0.999, no negation flip) ->
+      the false-positive mode the default-off setting avoids: textual subset
+      labels GENERALIZES even though a human reviser would likely REINFORCE.
+      Asserted here as the documented cost of default-on (see the
+      revise_batch detect_generalizes note).
+    """
+    from dice_spark.operators.revision import revise_batch
+
+    existing = _props(spark, [
+        ("e1", "c", "Grace Okafor leads big exciting community projects.", 0.9, 0.1, False, "ACTIVE", 0, ["g1"]),
+        ("e2a", "c", "Heidi Chen never mentors struggling new interns.", 0.9, 0.1, False, "ACTIVE", 0, ["g2"]),
+        ("e3", "c", "Frank Patel supports the busy platform team daily.", 0.9, 0.1, False, "ACTIVE", 0, ["g3"]),
+    ])
+    incoming = _props(spark, [
+        ("n1", "c", "Grace Okafor leads projects.", 0.8, 0.2, False, "ACTIVE", 0, ["h1"]),
+        ("n2", "c", "Heidi Chen mentors interns.", 0.8, 0.2, False, "ACTIVE", 0, ["h2"]),
+        ("n3", "c", "Frank Patel supports the platform team.", 0.8, 0.2, False, "ACTIVE", 0, ["h3"]),
+    ])
+    # span-overlap mentions drive candidate pairing (subject surname)
+    def mset(df, spans):
+        from pyspark.sql import functions as F
+        rows = [(p, s) for p, s in spans]
+        return spark.createDataFrame(rows, "prop_id string, span string").withColumn(
+            "resolved_id", F.lit(None).cast("string")
+        )
+    m_e = mset(existing, [("e1", "Grace Okafor"), ("e2a", "Heidi Chen"), ("e3", "Frank Patel")])
+    m_i = mset(incoming, [("n1", "Grace Okafor"), ("n2", "Heidi Chen"), ("n3", "Frank Patel")])
+
+    out = {r["prop_id"]: r for r in revise_batch(
+        existing, incoming, mentions_existing=m_e, mentions_incoming=m_i,
+        detect_generalizes=True,
+    ).collect()}
+
+    # plain abstraction: stored GENERALIZED, covered existing untouched
+    assert out["n1"]["revision_outcome"] == "GENERALIZED"
+    assert out["e1"]["revision_outcome"] == "UNCHANGED"
+
+    # priority: contradiction beats generalization on the same incoming
+    assert out["e2a"]["revision_outcome"] == "CONTRADICTED"
+    assert out["n2"]["revision_outcome"] != "GENERALIZED"
+
+    # the false-positive mode (why the default stays off): a terser repeat
+    # classifies GENERALIZES textually instead of reinforcing
+    assert out["n3"]["revision_outcome"] == "GENERALIZED"
+    assert out["e3"]["revision_outcome"] == "UNCHANGED"
+
+    # default-off on the same batch: no GENERALIZED outcomes anywhere
+    off = {r["prop_id"]: r for r in revise_batch(
+        existing, incoming, mentions_existing=m_e, mentions_incoming=m_i,
+    ).collect()}
+    assert all(r["revision_outcome"] != "GENERALIZED" for r in off.values())
