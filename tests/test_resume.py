@@ -143,7 +143,15 @@ def test_json_warehouse_merge_round_trip(spark, tmp_path):
     import glob
     import json as _json
 
-    snap_files = glob.glob(str(tmp_path / "jwh" / "t" / "snap-*" / "part-*.json"))
+    import os as _os
+
+    snap_files = [
+        f
+        for f in glob.glob(str(tmp_path / "jwh" / "t" / "snap-*" / "part-*.json"))
+        # 3 rows over 4+ shuffle partitions leave some part files empty;
+        # glob order is filesystem-dependent, so pick a non-empty one
+        if _os.path.getsize(f) > 0
+    ]
     assert snap_files
     line = open(snap_files[0]).readline()
     assert line.strip().startswith("{") and _json.loads(line)
