@@ -188,6 +188,16 @@ def q_projection_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prolog_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrologProjector fact emission (projection/prolog/PrologProjector.kt:96,
+    PrologTypes.kt:100-360): the projected edges re-expressed as a ground
+    Prolog program — one row per fact / confidence / grounded_by line."""
+    from dice_spark.operators.prolog import project_prolog
+
+    edges = project_edges(_classified(spark, sf_dir))
+    return project_prolog(edges).select("kind", "predicate", "line")
+
+
 def q_stale_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ProjectionLineageStaleCascade (projection/lineage/
     ProjectionLineageStaleCascade.kt): lineage records whose proposition
@@ -1550,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entities": q_entities,
         "kg_edges": q_kg_edges,
         "projection_lineage": q_projection_lineage,
+        "prolog_facts": q_prolog_facts,
         "stale_cascade": q_stale_cascade,
         "grounding_wiring": q_grounding_wiring,
         "incremental_trigger": q_incremental_trigger,
@@ -1609,6 +1620,7 @@ def oracle_sql() -> dict[str, str]:
         "propositions": oracle.q_propositions(),
         "entities": oracle.q_entities(),
         "kg_edges": oracle.q_edges(),
+        "prolog_facts": oracle.q_prolog_facts(),
         # the drained stream warehouse is value-identical to the batch engine
         # (single-path guarantee), so it shares the batch edges oracle
         "streaming_batch": oracle.q_edges(),

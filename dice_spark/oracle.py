@@ -351,6 +351,45 @@ FROM classified GROUP BY 1
 """
 
 
+def q_prolog_facts(max_source_ids: int = 100) -> str:
+    """Prolog fact-base emission (DefaultPrologProjector.projectAll +
+    PrologTypes toProlog formatting). Predicate = lower(edge_type): every
+    DEFAULT_MAPPING maps UPPER_SNAKE -> its lowercase, and the camelToSnake
+    fallback on an UPPER_SNAKE type is also a plain lowercase. quoteAtom =
+    lower + non-[a-z0-9_] -> '_'. Grounding rows mirror the Spark side's
+    MAX_EDGE_SOURCE_IDS rank-capped source_prop_ids array."""
+
+    def atom(expr: str) -> str:
+        return f"'''' || regexp_replace(lower({expr}), '[^a-z0-9_]', '_', 'g') || ''''"
+
+    return base_ctes() + canonicalization_ctes() + edges_ctes() + f""",
+prolog_base AS (
+  SELECT source_id, target_id, edge_type,
+         lower(edge_type) AS predicate,
+         lower(edge_type) || '(' || {atom("source_id")} || ', ' || {atom("target_id")} || ')' AS term,
+         confidence
+  FROM edges
+),
+grounding_ranked AS (
+  SELECT source_id, target_id, edge_type, prop_id,
+         row_number() OVER (PARTITION BY source_id, target_id, edge_type
+                            ORDER BY prop_id) AS rnk
+  FROM edge_rows
+)
+SELECT 'fact' AS kind, predicate, term || '.' AS line FROM prolog_base
+UNION ALL
+SELECT 'confidence' AS kind, predicate,
+       'confidence(' || term || ', ' || printf('%.6f', confidence) || ').' AS line
+FROM prolog_base
+UNION ALL
+SELECT 'grounded_by' AS kind, b.predicate,
+       'grounded_by(' || b.term || ', ''' || g.prop_id || ''').' AS line
+FROM prolog_base b
+JOIN grounding_ranked g USING (source_id, target_id, edge_type)
+WHERE g.rnk <= {max_source_ids}
+"""
+
+
 def q_two_hop() -> str:
     """Indirect 2-hop links over the emitted edges (SemanticLinkDiscoverer)."""
     return base_ctes() + canonicalization_ctes() + edges_ctes() + """
