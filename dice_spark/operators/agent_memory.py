@@ -110,8 +110,14 @@ def memory_search(
     scoped = apply_prop_query(props, base, prop_entities) if base is not None else props
     scoped = scoped.select(
         "prop_id", "text", "confidence", "decay",
-        *[c for c in ("content_revised", "valid_from", "valid_to", "invalidated_at")
-          if c in scoped.columns],
+        # optional temporal metadata: null placeholders when the store
+        # doesn't carry a column, so the decay expression always resolves
+        # (run_pipeline output has valid_from/to + invalidated_at but no
+        # content_revised; bare test frames may have none)
+        *[
+            (F.col(c) if c in scoped.columns else F.lit(None).cast("timestamp")).alias(c)
+            for c in ("content_revised", "valid_from", "valid_to", "invalidated_at")
+        ],
     )
 
     # ---- tier 1: vector (threshold 0.0, topK = limit) ------------------
@@ -254,6 +260,9 @@ def memory_list_all(
     already showing 10 eager memories over a limit of 10 sees none here).
     Returns (rank, prop_id, text, eff_conf)."""
     scoped = apply_prop_query(props, base, prop_entities) if base is not None else props
+    for c in ("content_revised", "valid_from", "valid_to", "invalidated_at"):
+        if c not in scoped.columns:  # see memory_search: optional metadata
+            scoped = scoped.withColumn(c, F.lit(None).cast("timestamp"))
     eff = F.round(effective_confidence(as_of=as_of), 6)
     out = (
         scoped.withColumn("eff_conf", eff)
