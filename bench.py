@@ -129,6 +129,8 @@ def main() -> int:
     timed("collector_run", lambda: entry.q_collector_run(spark, sf_dir).count())
     timed("revision_fast_path", lambda: entry.q_revision_fast_path(spark, sf_dir).count())
     timed("generalization", lambda: entry.q_generalization(spark, sf_dir).count())
+    timed("vector_linking", lambda: entry.q_vector_linking(spark, sf_dir).count())
+    timed("prolog_facts", lambda: entry.q_prolog_facts(spark, sf_dir).count())
     # streaming_batch is excluded: it measures the stateful warehouse loop
     # (two full pipeline runs + MERGE I/O into a temp dir), not an operator.
     # memory_consolidation runs the banded-MinHash pair stage
