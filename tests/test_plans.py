@@ -106,3 +106,22 @@ def test_default_contraster_joins_bounded_sides(spark):
     assert plan.count("<= 8") >= 2
     assert plan.count("WindowGroupLimit") >= 2
     assert pairs.count() == PAIR_CAP * PAIR_CAP
+
+
+def test_project_prolog_adds_no_exchange(spark):
+    """Prolog emission is string construction over the merged edges table:
+    fact/confidence lines are a narrow projection and grounding is one
+    bounded explode — the whole emission must not add a shuffle on top of
+    the edges input (SCALE.md round-5)."""
+    from dice_spark.operators.prolog import project_prolog
+
+    edges = spark.range(32).select(
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("source_id"),
+        F.lit("o").alias("target_id"),
+        F.lit("WORKS_AT").alias("edge_type"),
+        F.lit(0.9).alias("confidence"),
+        F.array(F.lit("p1"), F.lit("p2")).alias("source_prop_ids"),
+    )
+    plan = _plan(project_prolog(edges))
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan  # the bounded grounding fan-out
