@@ -1083,6 +1083,16 @@ def q_doc_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dups(docs, max_hamming=3)
 
 
+def q_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash candidate pairs closed into duplicate clusters with a
+    keep/drop decision per doc (dedup.dedup_clusters) — the drop-list a
+    training-data pipeline consumes."""
+    from dice_spark.operators.dedup import dedup_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup_clusters(docs, minhash_lsh_pairs(docs))
+
+
 def q_doc_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs blocked on the corpus's coarse label
     column (the IVF-style partition path of embedding_near_dups). The 0.35
@@ -1600,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": q_doc_stats,
         "doc_ngram_dups": q_doc_ngram_dups,
         "doc_minhash_dups": q_doc_minhash_dups,
+        "doc_dup_clusters": q_doc_dup_clusters,
         "doc_simhash_dups": q_doc_simhash_dups,
         "doc_embedding_dups": q_doc_embedding_dups,
         "media_features": q_media_features,
@@ -1663,6 +1674,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": oracle_docs.q_doc_stats(),
         "doc_ngram_dups": oracle_docs.q_doc_ngram_dups(),
         "doc_minhash_dups": oracle_docs.q_doc_minhash_dups(),
+        "doc_dup_clusters": oracle_docs.q_doc_dup_clusters(),
         "doc_simhash_dups": oracle_docs.q_doc_simhash_dups(),
         "doc_embedding_dups": oracle_docs.q_doc_embedding_dups(),
         "media_features": oracle_docs.q_media_features(),

@@ -93,6 +93,7 @@ def main() -> int:
     timed("doc_stats", lambda: entry.q_doc_stats(spark, sf_dir).count())
     timed("doc_ngram_dups", lambda: entry.q_doc_ngram_dups(spark, sf_dir).count())
     timed("doc_minhash_dups", lambda: entry.q_doc_minhash_dups(spark, sf_dir).count())
+    timed("doc_dup_clusters", lambda: entry.q_doc_dup_clusters(spark, sf_dir).count())
     timed("doc_simhash_dups", lambda: entry.q_doc_simhash_dups(spark, sf_dir).count())
     timed("ann_topk", lambda: entry.q_ann_topk(spark, sf_dir).count())
     timed("ann_ivf_topk", lambda: entry.q_ann_ivf_topk(spark, sf_dir).count())

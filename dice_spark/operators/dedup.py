@@ -450,3 +450,56 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Candidate pairs -> duplicate clusters + keep/drop decision per doc.
+
+    The end-product a training-data pipeline actually consumes: the pair
+    generators (minhash_lsh_pairs / simhash_near_dups / ngram_jaccard_pairs /
+    embedding_near_dups) say "these two look alike"; this closes the pairs
+    into connected components (the same min-id label propagation the entity
+    canonicalizer uses — DuplicateCollectorStrategy.kt:117-146 is the
+    reference's union-find analog) and elects ONE survivor per cluster:
+    longest text first (near-dup families usually keep the most complete
+    variant), doc_id ascending as the deterministic tiebreak.
+
+    Output: (doc_id, cluster_id, cluster_size, keep) — one row per input
+    doc; docs in no pair are their own singleton cluster (keep = true).
+
+    Scale: CC runs ONLY over pair members (dup candidates are a small
+    fraction of the corpus); the join back to docs is a left join on the
+    id; size + survivor share one window partitioning, so the decision
+    stage is a single shuffle on cluster_id.
+    """
+    from pyspark.sql import Window
+
+    from dice_spark.operators.canonicalize import connected_components
+
+    nodes = (
+        pairs.select(F.col(a_col).alias("node_id"))
+        .unionByName(pairs.select(F.col(b_col).alias("node_id")))
+        .distinct()
+    )
+    edges = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    comp = connected_components(nodes, edges)
+    out = (
+        docs.select(F.col(id_col), F.length(F.col(text_col)).alias("_len"))
+        .join(comp.withColumnRenamed("node_id", id_col), id_col, "left")
+        .withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col)))
+    )
+    w = Window.partitionBy("cluster_id")
+    rank_w = w.orderBy(F.desc("_len"), F.asc(id_col))
+    return out.select(
+        id_col,
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.row_number().over(rank_w) == 1).alias("keep"),
+    )

@@ -417,3 +417,57 @@ SELECT m.span AS span,
          AS resolution_level
 FROM m LEFT JOIN auto a USING (span)
 """
+
+
+def q_doc_dup_clusters(n_hashes: int = 16, bands: int = 4, n: int = 3) -> str:
+    """MinHash pairs closed into components + survivor election (counterpart
+    of dedup.dedup_clusters over minhash_lsh_pairs). Components via recursive
+    reachability closure (min reachable id == the Spark side's min-id label
+    propagation); survivor = longest text, doc_id ascending tiebreak."""
+    rows = n_hashes // bands
+    sig_items = ", ".join(
+        f"list_min([md5('{i}|' || s) for s in sh])" for i in range(n_hashes)
+    )
+    band_structs = ", ".join(
+        "{'band': %d, 'key': md5(%s)}"
+        % (bi, " || '|' || ".join(f"sig[{bi * rows + r + 1}]" for r in range(rows)))
+        for bi in range(bands)
+    )
+    return f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, {_shingles(TOKS, n)} AS sh
+  FROM documents
+),
+sig AS (SELECT doc_id, [{sig_items}] AS sig FROM sh),
+banded AS (
+  SELECT doc_id, unnest([{band_structs}], recursive := true)
+  FROM sig
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+e AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(id, r) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id
+),
+comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+labeled AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         length(d.text) AS len
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       (row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY len DESC, doc_id ASC) = 1) AS keep
+FROM labeled
+"""

@@ -150,3 +150,38 @@ def test_lsh_bucketed_topk_requires_dim(spark):
     emb = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
     with _pytest.raises(ValueError):
         lsh_bucketed_topk(emb, emb, n_planes=2, k=1)
+
+
+def test_dedup_clusters_transitive_closure_and_survivor(spark):
+    """Pairs (a,b),(b,c) close into one cluster of 3; the longest text wins
+    keep (doc_id ascending tiebreak); docs in no pair are singletons."""
+    from dice_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "short"),
+            ("d2", "the longest text of the family"),
+            ("d3", "mid text"),
+            ("d4", "unrelated singleton"),
+            ("d5", "tie a"), ("d6", "tie b"),
+        ],
+        "doc_id string, text string",
+    )
+    pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d2", "d3"), ("d5", "d6")],
+        "doc_a string, doc_b string",
+    )
+    got = {r["doc_id"]: r for r in dedup_clusters(docs, pairs).collect()}
+    assert len(got) == 6  # one row per input doc
+    # transitive closure: d1-d2-d3 one cluster labeled by the min id
+    assert got["d1"]["cluster_id"] == got["d2"]["cluster_id"] == got["d3"]["cluster_id"] == "d1"
+    assert got["d1"]["cluster_size"] == 3
+    # survivor = longest text
+    assert got["d2"]["keep"] and not got["d1"]["keep"] and not got["d3"]["keep"]
+    # singleton keeps itself
+    assert got["d4"]["cluster_id"] == "d4" and got["d4"]["cluster_size"] == 1 and got["d4"]["keep"]
+    # equal-length tie -> doc_id ascending
+    assert got["d5"]["keep"] and not got["d6"]["keep"]
+    # exactly one survivor per cluster
+    keeps = [r for r in got.values() if r["keep"]]
+    assert len(keeps) == 3
