@@ -188,6 +188,23 @@ def q_projection_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prolog_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrologEngine rule inference (projection/prolog/PrologEngine.kt:52-206,
+    dice-rules.pl) re-expressed as a Datalog fixpoint over DataFrames: the
+    derived relations (reports_to_chain, manages_chain, coworker) from the
+    projected edges."""
+    from dice_spark.operators.prolog_rules import DICE_RULES, apply_rules
+
+    edges = project_edges(_classified(spark, sf_dir))
+    facts = edges.select(
+        F.lower("edge_type").alias("predicate"),
+        F.col("source_id").alias("x"),
+        F.col("target_id").alias("y"),
+    )
+    derived_names = sorted({r.head for r in DICE_RULES})
+    return apply_rules(facts).filter(F.col("predicate").isin(derived_names))
+
+
 def q_prolog_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PrologProjector fact emission (projection/prolog/PrologProjector.kt:96,
     PrologTypes.kt:100-360): the projected edges re-expressed as a ground
@@ -1571,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_edges": q_kg_edges,
         "projection_lineage": q_projection_lineage,
         "prolog_facts": q_prolog_facts,
+        "prolog_inference": q_prolog_inference,
         "stale_cascade": q_stale_cascade,
         "grounding_wiring": q_grounding_wiring,
         "incremental_trigger": q_incremental_trigger,
@@ -1632,6 +1650,7 @@ def oracle_sql() -> dict[str, str]:
         "entities": oracle.q_entities(),
         "kg_edges": oracle.q_edges(),
         "prolog_facts": oracle.q_prolog_facts(),
+        "prolog_inference": oracle.q_prolog_inference(),
         # the drained stream warehouse is value-identical to the batch engine
         # (single-path guarantee), so it shares the batch edges oracle
         "streaming_batch": oracle.q_edges(),

@@ -132,6 +132,7 @@ def main() -> int:
     timed("generalization", lambda: entry.q_generalization(spark, sf_dir).count())
     timed("vector_linking", lambda: entry.q_vector_linking(spark, sf_dir).count())
     timed("prolog_facts", lambda: entry.q_prolog_facts(spark, sf_dir).count())
+    timed("prolog_inference", lambda: entry.q_prolog_inference(spark, sf_dir).count())
     # streaming_batch is excluded: it measures the stateful warehouse loop
     # (two full pipeline runs + MERGE I/O into a temp dir), not an operator.
     # memory_consolidation runs the banded-MinHash pair stage

@@ -351,6 +351,38 @@ FROM classified GROUP BY 1
 """
 
 
+def q_prolog_inference() -> str:
+    """Horn-rule inference over the fact base (PrologEngine + dice-rules.pl):
+    reports_to_chain / manages_chain = recursive transitive closure (UNION
+    dedup terminates on cycles, like tabled resolution on ground facts);
+    coworker = the works_at-analog self-join with X <> Y."""
+    return base_ctes() + canonicalization_ctes() + edges_ctes() + """,
+facts AS (
+  SELECT DISTINCT lower(edge_type) AS predicate, source_id AS x, target_id AS y
+  FROM edges
+),
+rt AS (SELECT x, y FROM facts WHERE predicate = 'reports_to'),
+rtc(x, y) AS (
+  SELECT x, y FROM rt
+  UNION
+  SELECT r.x, c.y FROM rt r JOIN rtc c ON r.y = c.x
+),
+mg AS (SELECT x, y FROM facts WHERE predicate = 'manages'),
+mgc(x, y) AS (
+  SELECT x, y FROM mg
+  UNION
+  SELECT m.x, c.y FROM mg m JOIN mgc c ON m.y = c.x
+),
+emp AS (SELECT x, y FROM facts WHERE predicate = 'is_employed_by')
+SELECT 'reports_to_chain' AS predicate, x, y FROM rtc
+UNION
+SELECT 'manages_chain' AS predicate, x, y FROM mgc
+UNION
+SELECT 'coworker' AS predicate, a.x AS x, b.x AS y
+FROM emp a JOIN emp b ON a.y = b.y AND a.x <> b.x
+"""
+
+
 def q_prolog_facts(max_source_ids: int = 100) -> str:
     """Prolog fact-base emission (DefaultPrologProjector.projectAll +
     PrologTypes toProlog formatting). Predicate = lower(edge_type): every
