@@ -37,19 +37,34 @@ from dice_spark.operators.linking import (
 )
 
 
-def mention_nodes(mentions: DataFrame, context_id: str, span_col: str = "span", type_col: str = "entity_type") -> DataFrame:
+def mention_nodes(
+    mentions: DataFrame,
+    context_id: str,
+    span_col: str = "span",
+    type_col: str = "entity_type",
+    pre_counted: bool = False,
+) -> DataFrame:
     """Distinct (type, norm_key) nodes with aggregated surface forms.
 
     node_id is content-derived (deterministic across reruns and parallelism
     levels — SURVEY.md §2.5 "new-entity minting").
+
+    ``pre_counted``: the input is already the (span, entity_type, n)
+    vocabulary (a caller that filtered at group level passes its counted
+    relation straight through — no second corpus aggregation).
     """
     # Aggregate raw surface forms FIRST: the normalize regex chain then runs
     # once per distinct (span, type) — vocabulary cardinality — instead of
     # once per mention occurrence (10^12 at design scale). Mirrors the
     # reference's MentionKey dedup-before-resolution.
-    counted = mentions.groupBy(
-        F.col(span_col).alias("span"), F.col(type_col).alias("entity_type")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    if pre_counted:
+        counted = mentions.select(
+            F.col(span_col).alias("span"), F.col(type_col).alias("entity_type"), "n"
+        )
+    else:
+        counted = mentions.groupBy(
+            F.col(span_col).alias("span"), F.col(type_col).alias("entity_type")
+        ).agg(F.count(F.lit(1)).alias("n"))
     prepared = counted.select(
         "span",
         "entity_type",
@@ -242,6 +257,7 @@ def canonicalize_mentions(
     span_col: str = "span",
     type_col: str = "entity_type",
     schema: DataFrame | None = None,
+    pre_counted: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Full canonicalization: mentions -> (entities, mention->entity mapping).
 
@@ -266,7 +282,9 @@ def canonicalize_mentions(
         mentions = mentions.join(
             closed, F.lower(F.col(type_col)) == F.col("_closed_type"), "left_anti"
         )
-    nodes = mention_nodes(mentions, context_id, span_col, type_col).localCheckpoint(eager=True)
+    nodes = mention_nodes(
+        mentions, context_id, span_col, type_col, pre_counted=pre_counted
+    ).localCheckpoint(eager=True)
     # Size the CC loop's shuffle width to the actual vocabulary (the count is
     # one cheap action on the eager checkpoint): ~100k nodes per partition.
     # A small corpus runs each of the ~diameter iterations as a couple of

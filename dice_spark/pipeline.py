@@ -144,15 +144,25 @@ def process_chunks(
         triples.select(F.col("obj_span").alias("span"), F.col("obj_type").alias("entity_type"))
     )
     # Mention quality gate (MentionFilter/MentionValidationRule): junk spans
-    # (blank, vague demonstratives, over-long) never become entities.
-    from dice_spark.operators.mention_filter import filter_mentions
+    # (blank, vague demonstratives, over-long) never become entities. The
+    # gate depends only on the span text, so it runs on the counted
+    # VOCABULARY (one corpus aggregation first) — value-identical to
+    # filtering every occurrence, but the rule when-chain is vocabulary-
+    # sized work instead of corpus-sized (the dominant fixed cost of the
+    # canonicalization block at 8M turns, measured ~5.7s/pass at local[8]).
+    from dice_spark.operators.mention_filter import filter_mention_groups
 
-    mentions, rejected_mentions = filter_mentions(mentions)
+    counted = mentions.groupBy("span", "entity_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    counted_valid, rejected_mentions = filter_mention_groups(counted)
     # schema: optional (entity_type, creation_permitted) — closed types are
     # vetoed from entity minting (EscalatingEntityResolver.kt:224-237);
     # their propositions keep NULL subj/obj ids and the projection gate
     # drops those edges downstream.
-    entities, mapping = canonicalize_mentions(mentions, context_id, schema=schema)
+    entities, mapping = canonicalize_mentions(
+        counted_valid, context_id, schema=schema, pre_counted=True
+    )
 
     props = triples_to_propositions(triples, context_id)
     # Provenance stamp (PropositionPipeline.stampProvenance): every
@@ -250,7 +260,7 @@ def run_entity_pipeline(
     EntityPipeline.kt:46): extract mentions, filter junk spans, canonicalize —
     no propositions, no projection. Returns entities + the mention->entity
     mapping + rejected mentions."""
-    from dice_spark.operators.mention_filter import filter_mentions
+    from dice_spark.operators.mention_filter import filter_mention_groups
 
     chunks = assemble_windows(transcripts)
     turns = split_turns(chunks)
@@ -264,8 +274,11 @@ def run_entity_pipeline(
     ).unionByName(
         triples.select(F.col("obj_span").alias("span"), F.col("obj_type").alias("entity_type"))
     )
-    mentions, rejected = filter_mentions(mentions)
-    entities, mapping = canonicalize_mentions(mentions, context_id)
+    counted = mentions.groupBy("span", "entity_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    counted, rejected = filter_mention_groups(counted)
+    entities, mapping = canonicalize_mentions(counted, context_id, pre_counted=True)
     return {
         "entities": entities,
         "mention_mapping": mapping,

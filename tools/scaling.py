@@ -93,7 +93,30 @@ def measure(cores: int) -> dict:
     from dice_spark.session import get_spark
 
     spark = get_spark(
-        f"scaling-{cores}", master=f"local[{cores}]", shuffle_partitions=max(cores, 16)
+        f"scaling-{cores}",
+        master=f"local[{cores}]",
+        # cluster-proportional shuffle width (a real deployment sizes this
+        # to ~2-4x total cores); a shared constant 16 would hand local[2]
+        # fewer-but-fuller waves while local[8] runs one ragged wave.
+        shuffle_partitions=cores * 4,
+        # The replicated input is ~90MB in 64 small files; the default split
+        # packing (128MB maxPartitionBytes + 4MB openCost) coalesces it into
+        # ~3 scan splits, capping the corpus scan + assembly map stage at
+        # 3-way parallelism AT BOTH LEVELS — a small-input artifact that
+        # hides the plan's true scaling (a 100 TB scan has millions of
+        # splits). Size splits so the scan can fill the wider level's slots.
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "0",
+            # AQE coalesces exchanges by BYTES, but the exchange feeding the
+            # Arrow extraction UDF is CPU-bound per row — its bytes are small
+            # while its compute is ~55% of the whole pipeline (REST stage
+            # profile: 158s of 289s executor time squeezed into 12 tasks at
+            # local[8] under the 64MB default advisory). Size the advisory
+            # target down so the Python-heavy stage keeps enough tasks to
+            # fill (and balance) every slot at the wider level.
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     transcripts = spark.read.parquet(input_path())
