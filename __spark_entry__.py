@@ -23,7 +23,7 @@ from dice_spark.functions.textstats import (
     quality_score,
     token_count,
 )
-from dice_spark.operators.assembly import assemble_windows, split_turns
+from dice_spark.operators.assembly import assemble_windows, split_turns, windowed_turns
 from dice_spark.operators.canonicalize import canonicalize_mentions
 from dice_spark.operators.dedup import (
     exact_dedup,
@@ -45,8 +45,10 @@ def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    turns = split_turns(assemble_windows(_transcripts(spark, sf_dir)))
-    return extract_triples_udf(turns)
+    # windowed_turns == split_turns(assemble_windows(...)) for the canonical
+    # transcript contract (tests/test_assembly_fused.py), minus the chunk-text
+    # render -> re-parse round trip and its shuffle.
+    return extract_triples_udf(windowed_turns(_transcripts(spark, sf_dir)))
 
 
 def _mentions(triples: DataFrame) -> DataFrame:
@@ -101,7 +103,7 @@ def q_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_extraction_perspective(spark: SparkSession, sf_dir: str) -> DataFrame:
     """USER-perspective extraction: role scope applied before the Arrow seam
     (ExtractionPerspective.USER, LlmPropositionExtractor.kt:46-56)."""
-    turns = split_turns(assemble_windows(_transcripts(spark, sf_dir)))
+    turns = windowed_turns(_transcripts(spark, sf_dir))
     t = extract_triples_udf(turns, perspective="USER")
     return t.select(
         "chunk_id", "conv_id", "turn_idx", "sentence", "predicate", "priority",
@@ -114,8 +116,9 @@ def q_extraction_perspective(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_propositions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dice_spark.operators.provenance import with_provenance_metadata
 
-    chunks = assemble_windows(_transcripts(spark, sf_dir))
-    triples = extract_triples_udf(split_turns(chunks))
+    tr = _transcripts(spark, sf_dir)
+    chunks = assemble_windows(tr)
+    triples = extract_triples_udf(windowed_turns(tr))
     props = triples_to_propositions(triples, CTX)
     props = with_provenance_metadata(props, chunks, hash_col="content_hash")
     return props.select(
@@ -263,9 +266,10 @@ def q_why_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic under the oracle hash)."""
     from dice_spark.operators.provenance import with_provenance_metadata
 
-    chunks = assemble_windows(_transcripts(spark, sf_dir))
+    tr = _transcripts(spark, sf_dir)
+    chunks = assemble_windows(tr)
     props = with_provenance_metadata(
-        triples_to_propositions(extract_triples_udf(split_turns(chunks)), CTX),
+        triples_to_propositions(extract_triples_udf(windowed_turns(tr)), CTX),
         chunks,
         hash_col="content_hash",
     )

@@ -105,6 +105,70 @@ def assemble_windows(
     )
 
 
+def windowed_turns(
+    transcripts: DataFrame,
+    window_size: int = WINDOW_SIZE,
+    overlap: int = OVERLAP_SIZE,
+) -> DataFrame:
+    """``split_turns(assemble_windows(t))`` without the render -> parse round trip.
+
+    The composition builds each window's full chunk text (collect_list +
+    array_sort + a per-turn render) only to split it back into per-turn rows
+    and re-parse role/text out of the rendered lines. For the extraction
+    branch none of that string work is needed: the turn rows themselves carry
+    (conv_id, turn_idx, role, text), and with the engine's canonical
+    transcript contract — dense 0-based per-conversation turn indexes
+    (transcripts_from_events emits row_number()-1) and single-line turn text
+    (no "\\n\\n" inside a turn) — the window geometry is pure arithmetic:
+
+      window_start(w) = w * stride
+      window_end(w)   = min(conv_len, w * stride + window_size)
+      sliver(w)       = w >= 1 and conv_len - w * stride <= overlap
+
+    so the only non-map-side work is the per-conversation length aggregate,
+    which AQE broadcast-joins back (the turn stream itself is never
+    shuffled; at scale the join degrades gracefully to a conv_id shuffle).
+    Value-identity with the composition is pinned by
+    tests/test_assembly_fused.py on the driver events data and the golden
+    fixtures; inputs that break the contract (sparse turn indexes,
+    multi-line turn text) must use the composition.
+    """
+    stride = window_size - overlap
+    t = F.col("turn_idx")
+    w0 = F.floor(t / stride).cast("int")
+    in_prev = (t % stride < overlap) & (w0 > 0)
+    # Dense contract: conv_len = max(turn_idx) + 1 = count(*). Counting needs
+    # only conv_id, so when turn_idx is itself a window computation (as in
+    # transcripts_from_events) Catalyst prunes that window out of this branch
+    # and the length aggregate becomes a map-side partial count on the scan.
+    conv_len = transcripts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("int").alias("_conv_len")
+    )
+    exploded = (
+        transcripts.join(conv_len, "conv_id")
+        .withColumn(
+            "window_id",
+            F.explode(F.when(in_prev, F.array(w0 - 1, w0)).otherwise(F.array(w0))),
+        )
+        # same sliver-window rule as assemble_windows, in closed form
+        .filter(
+            (F.col("window_id") == 0)
+            | (F.col("_conv_len") - F.col("window_id") * stride > overlap)
+        )
+    )
+    ws = (F.col("window_id") * stride).cast("int")
+    we = F.least(F.col("_conv_len"), ws + window_size).cast("int")
+    return exploded.select(
+        F.concat_ws(
+            ":", F.col("conv_id"), ws.cast("string"), we.cast("string")
+        ).alias("chunk_id"),
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "role",
+        "text",
+    )
+
+
 def split_turns(chunks: DataFrame) -> DataFrame:
     """Inverse of the renderer: chunk text -> one row per rendered turn line.
 

@@ -209,7 +209,12 @@ def extract_triples_udf(
     """
     import pandas as pd
 
-    turns = scope_to_perspective(turns, perspective)
+    # Role is only needed for the perspective predicate (JVM-side); project to
+    # the four columns the seam reads so nothing else crosses the Arrow
+    # boundary (opaque functions defeat Catalyst's column pruning — guide §4).
+    turns = scope_to_perspective(turns, perspective).select(
+        "chunk_id", "conv_id", "turn_idx", "text"
+    )
 
     overrides = dict(conf_overrides or {})
     relations = list(RELATIONS)

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dice_spark.functions.normalize import norm_key
-from dice_spark.operators.assembly import assemble_windows, split_turns
+from dice_spark.operators.assembly import assemble_windows, split_turns, windowed_turns
 from dice_spark.operators.canonicalize import canonicalize_mentions
 from dice_spark.operators.extraction import (
     extract_triples,
@@ -59,6 +59,7 @@ def run_pipeline(
     in local mode it lifts the single-JVM block-manager ceiling at 10M+ turns.
     """
     chunks = assemble_windows(transcripts)
+    turns = None
     if processed_chunks is not None:
         # Resume: skip windows whose content hash was already processed
         # (IngestionLedger.recordIfAbsent / ChunkHistoryStore semantics).
@@ -67,8 +68,17 @@ def run_pipeline(
             ["conv_id", "content_hash"],
             "left_anti",
         )
+    else:
+        # Fresh run over raw transcripts: derive per-turn rows directly from
+        # the transcript rows (windowed_turns == split_turns(assemble_windows)
+        # for the canonical contract, tests/test_assembly_fused.py) — the
+        # extraction branch then skips the chunk-text render -> re-parse round
+        # trip entirely. The resume path must derive turns from the FILTERED
+        # chunks, so it keeps the composition.
+        turns = windowed_turns(transcripts)
     return process_chunks(
         chunks,
+        turns=turns,
         context_id=context_id,
         relations=relations,
         conf_overrides=conf_overrides,
@@ -87,6 +97,7 @@ def run_pipeline(
 
 def process_chunks(
     chunks: DataFrame,
+    turns: DataFrame | None = None,
     context_id: str = "default",
     relations: DataFrame | None = None,
     conf_overrides: dict | None = None,
@@ -128,7 +139,8 @@ def process_chunks(
     # otherwise. The two branches re-run the (cheap, shuffle-parallel)
     # assembly independently, exactly the column-pruned round-1 plan shape.
     chunk_meta = _materialize(chunks.select("chunk_id", "content_hash"), "chunk_meta")
-    turns = split_turns(chunks)
+    if turns is None:
+        turns = split_turns(chunks)
 
     if use_udf_extractor:
         triples = extract_triples_udf(turns, conf_overrides, perspective=perspective)
@@ -262,8 +274,7 @@ def run_entity_pipeline(
     mapping + rejected mentions."""
     from dice_spark.operators.mention_filter import filter_mention_groups
 
-    chunks = assemble_windows(transcripts)
-    turns = split_turns(chunks)
+    turns = windowed_turns(transcripts)
     triples = (
         extract_triples_udf(turns, conf_overrides)
         if use_udf_extractor
