@@ -124,12 +124,73 @@ def match_edges(nodes: DataFrame) -> DataFrame:
     return partial.unionByName(fuzzy).distinct()
 
 
+# Edge-count ceiling for the driver union-find fast path (overridable via
+# $DICE_CC_DRIVER_MAX_EDGES; 0 disables). 1M pairs of hex ids is ~150 MB of
+# Python objects — comfortably inside the driver heap, and >=99% of the
+# fixed cost of the distributed loop (one job per iteration) disappears.
+# Above the ceiling the distributed label-propagation loop runs unchanged,
+# so a 10^9-edge similarity graph never lands on the driver.
+DRIVER_CC_MAX_EDGES = 1_000_000
+
+
+def _driver_union_find(pairs: list, nodes: DataFrame, node_col: str) -> DataFrame:
+    """Union-find with path compression and min-id roots over collected pairs.
+
+    Produces the same partition AND the same labels as min-id label
+    propagation: keeping the smaller root on every union makes each root the
+    minimum id of its component (the invariant the distributed loop converges
+    to). The reference's own UnionFind (DuplicateCollectorStrategy.kt:117-146)
+    is this exact structure.
+    """
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if ra < rb:
+            parent[rb] = ra
+        else:
+            parent[ra] = rb
+    mapping = [(n, find(n)) for n in parent]
+    spark = nodes.sparkSession
+    labels = nodes.select(F.col(node_col).alias("id"))
+    id_type = labels.schema["id"].dataType
+    if mapping:
+        from pyspark.sql.types import StructField, StructType
+
+        mdf = F.broadcast(
+            spark.createDataFrame(
+                mapping,
+                StructType(
+                    [StructField("id", id_type), StructField("_comp", id_type)]
+                ),
+            )
+        )
+        labels = labels.join(mdf, "id", "left")
+    else:
+        labels = labels.withColumn("_comp", F.lit(None).cast(id_type))
+    return labels.select(
+        F.col("id").alias(node_col),
+        F.coalesce("_comp", "id").alias("component"),
+    )
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
     node_col: str = "node_id",
     max_iter: int = 25,
     num_partitions: int | None = None,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Min-id label propagation until fixpoint -> (node_id, component).
 
@@ -137,6 +198,14 @@ def connected_components(
     (DuplicateCollectorStrategy.kt:117-146) computes the same partition; label
     propagation is its shuffle-native equivalent. localCheckpoint truncates
     the iterative lineage so plans stay bounded at scale.
+
+    Scale-adaptive execution: the edge list's size is known (one count, also
+    the empty-fast-path probe). At or below ``driver_max_edges`` (default
+    DRIVER_CC_MAX_EDGES, env DICE_CC_DRIVER_MAX_EDGES) the component labels
+    are computed with a driver-side union-find over the collected pairs and
+    broadcast back — identical labels (pinned by tests/test_canonicalize.py),
+    none of the per-iteration scheduler fixed cost. Larger graphs run the
+    distributed loop unchanged.
 
     Raises RuntimeError when max_iter rounds pass without convergence —
     returning partial labels silently would split one true component in two.
@@ -153,19 +222,31 @@ def connected_components(
     # session's shuffle width (e.g. proposition duplicate clusters) pass a
     # small count so each of the ~diameter iterations schedules a handful of
     # tasks instead of a full-width shuffle — pure fixed-cost reduction.
+    if driver_max_edges is None:
+        import os
+
+        driver_max_edges = int(
+            os.environ.get("DICE_CC_DRIVER_MAX_EDGES", DRIVER_CC_MAX_EDGES)
+        )
     sym = edges.select(F.col("a"), F.col("b")).unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
     if num_partitions is not None:
         sym = sym.repartition(num_partitions, "a")
     sym = sym.localCheckpoint(eager=False)
+    n_sym = sym.count()
     labels = nodes.select(F.col(node_col).alias("id")).withColumn("component", F.col("id"))
-    if num_partitions is not None:
-        labels = labels.repartition(num_partitions, "id")
-    if sym.count() == 0:
+    if n_sym == 0:
         # No similarity edges: every node is its own component. Skipping the
         # loop saves ~10 scheduler round-trips of fixed cost per run.
         return labels.withColumnRenamed("id", node_col)
+    if n_sym <= 2 * driver_max_edges:
+        # sym is materialized by the count above, so the collect is one read
+        # of the checkpointed pairs, not a recompute of the edge generator.
+        pairs = [(r[0], r[1]) for r in sym.collect()]
+        return _driver_union_find(pairs, nodes, node_col)
+    if num_partitions is not None:
+        labels = labels.repartition(num_partitions, "id")
     labels = labels.localCheckpoint(eager=False)
     converged = False
     for _ in range(max_iter):

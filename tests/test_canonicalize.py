@@ -104,7 +104,40 @@ def test_cc_long_chain_converges_within_log_iterations(spark):
         F.format_string("n%05d", "id").alias("a"),
         F.format_string("n%05d", F.col("id") + 1).alias("b"),
     )
-    comps = connected_components(nodes, edges, max_iter=25, num_partitions=4)
+    # driver_max_edges=0 pins the DISTRIBUTED loop (the driver union-find
+    # fast path would otherwise absorb a 2k-edge graph).
+    comps = connected_components(
+        nodes, edges, max_iter=25, num_partitions=4, driver_max_edges=0
+    )
     rows = comps.collect()
     assert len(rows) == n
     assert {r["component"] for r in rows} == {"n00000"}
+
+
+def test_cc_driver_and_distributed_paths_agree(spark):
+    """The driver union-find fast path must label exactly like the distributed
+    min-id propagation — same components, same (min-id) labels, isolated
+    nodes keeping their own id — on string and long node ids."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from dice_spark.operators.canonicalize import connected_components
+
+    rnd = random.Random(7)
+    n = 400
+    pairs = [(rnd.randrange(n), rnd.randrange(n)) for _ in range(220)]
+    # string ids
+    nodes_s = spark.range(n).select(F.format_string("x%04d", "id").alias("node_id"))
+    edges_s = spark.createDataFrame(
+        [(f"x{a:04d}", f"x{b:04d}") for a, b in pairs], "a string, b string"
+    )
+    drv = connected_components(nodes_s, edges_s, driver_max_edges=10_000)
+    dist = connected_components(nodes_s, edges_s, driver_max_edges=0, num_partitions=4)
+    assert sorted(map(tuple, drv.collect())) == sorted(map(tuple, dist.collect()))
+    # long ids (dedup_clusters uses doc_id bigints)
+    nodes_l = spark.range(n).select(F.col("id").alias("node_id"))
+    edges_l = spark.createDataFrame(pairs, "a long, b long")
+    drv_l = connected_components(nodes_l, edges_l, driver_max_edges=10_000)
+    dist_l = connected_components(nodes_l, edges_l, driver_max_edges=0, num_partitions=4)
+    assert sorted(map(tuple, drv_l.collect())) == sorted(map(tuple, dist_l.collect()))
