@@ -345,8 +345,24 @@ def resolve_against_entities(
     )
 
     if vector_tier:
-        unresolved_4 = unresolved_3.join(
-            fuzzy.select("span", "type_key").distinct(), ["span", "type_key"], "left_anti"
+        # Materialize the name-tier union ONCE before the vector tier. The
+        # vector branch's candidate join, the bakeoff branch and the final
+        # resolution join all sit downstream of the four name tiers; left
+        # lazy, the whole tier chain (4 joins + 4 exactly-one windows + the
+        # anti-join ladder) re-executes in the auto-checkpoint job AND again
+        # in the final action (~3x, measured ~17s -> ~8s on the bench probe
+        # set). The union is one slim row per name-resolved surface form —
+        # vocabulary-bounded — and checkpointing it also collapses
+        # unresolved_4 from the four chained anti-joins to a single anti-join
+        # against the materialized union (the same set, since the union IS
+        # exact+normalized+partial+fuzzy). Without the vector tier the chain
+        # runs exactly once in the final action, so laziness stays optimal
+        # there. Eager for the usual AQE zip-partition reason.
+        resolved = resolved.localCheckpoint(eager=True)
+        unresolved_4 = m.join(
+            resolved.select("span", "type_key").distinct(),
+            ["span", "type_key"],
+            "left_anti",
         ).alias("m")
         # Candidate generation: cosine of letter-count embeddings, blocked on
         # (type, hyperplane bucket). Type alone approaches mentions x entities
