@@ -152,7 +152,10 @@ def revise(
     """
     from dice_spark.operators.extraction import MAX_GROUNDING
     ex = existing.withColumn("canon", canonicalize_text("text")).alias("ex")
-    # In-batch canonical dedup first (reviseAll step 1, :240-250).
+    # In-batch canonical dedup first (reviseAll step 1, :240-250). Lazily
+    # checkpointed: the fast path, every classified branch, the temporal
+    # metadata lookup and the NEW-rows tail all re-read it — one window pass
+    # instead of one per consumer.
     inc = (
         incoming.withColumn("canon", canonicalize_text("text"))
         .withColumn(
@@ -161,6 +164,7 @@ def revise(
         )
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        .localCheckpoint(eager=False)
         .alias("inc")
     )
 
@@ -189,7 +193,14 @@ def revise(
     rest_ex = ex.join(merged_ex_ids, "prop_id", "left_anti").alias("ex")
 
     if classified_pairs is not None:
-        cls = classified_pairs.alias("cls")
+        # The classifier seam output is read by every branch below (identical
+        # merge, reinforce, contradiction, generalization, and their
+        # anti-join guards). Left lazy, the WHOLE upstream — candidate pair
+        # generation + the Arrow classification seam — re-executes once per
+        # branch (~5x, the dominant cost of revise_batch at bench scale).
+        # One lazy checkpoint materializes the (existing_id, new_id,
+        # relation, similarity) rows once.
+        cls = classified_pairs.localCheckpoint(eager=False).alias("cls")
         # IDENTICAL classifications merge, and per new proposition identical
         # outranks contradictory outranks similar (classifiedToResult,
         # LlmPropositionReviser.kt:478-509: `find` identical first). One merge
@@ -460,6 +471,67 @@ def prop_mentions(props: DataFrame) -> DataFrame:
     )
 
 
+def canon_token_set(text) -> "F.Column":
+    """JVM twin of the default classifier's tokenization (classify_pairs_udf):
+    lower -> strip [^a-z0-9\\s] -> whitespace split -> distinct, no empties.
+    Used to pre-filter the classifier seam's input; identity with the pandas
+    path is pinned by tests/test_revision.py."""
+    t = F.col(text) if isinstance(text, str) else text
+    return F.array_distinct(
+        F.filter(
+            F.split(F.regexp_replace(F.lower(t), r"[^a-z0-9\s]", ""), r"\s+"),
+            lambda w: F.length(w) > 0,
+        )
+    )
+
+
+def _seam_prefilter(with_text: DataFrame, detect_generalizes: bool) -> DataFrame:
+    """Drop pairs the DEFAULT classifier is guaranteed to label in a way
+    ``revise`` ignores, before they cross the Python boundary (guide §4:
+    shuffle/ship fewer rows into the seam; same spirit as the reference's
+    entity-overlap pre-filter and the vector fast path's candidate floor).
+
+    Sound only for classify_pairs_udf: every consumed label needs token
+    Jaccard >= 0.5 (IDENTICAL/SIMILAR/CONTRADICTORY) or, with
+    detect_generalizes, a strict token-subset relation — both computable
+    exactly as native column expressions over per-side token sets. Kept
+    pairs still go through the seam unchanged, so surviving labels and
+    similarities are bit-identical; dropped pairs would have classified
+    UNRELATED (or sub-floor SIMILAR), which revise() discards either way.
+    Callers with a custom (e.g. LLM) classifier never get this filter.
+    """
+    # Tokenize once per SIDE (proposition cardinality), never per pair:
+    # inlining the regexp/split chain into the pair-level expressions would
+    # re-evaluate it for every array_intersect/array_union reference — the
+    # exact Catalyst projection-collapse trap vector_fast_path documents
+    # (measured: per-pair inlining turned this filter into a 4x slowdown).
+    # The distinct() exchanges are projection barriers AND shrink the token
+    # work to one row per proposition.
+    ex_tok = (
+        with_text.select("existing_id", "existing_text")
+        .distinct()
+        .select("existing_id", canon_token_set("existing_text").alias("_ta"))
+    )
+    new_tok = (
+        with_text.select("new_id", "new_text")
+        .distinct()
+        .select("new_id", canon_token_set("new_text").alias("_tb"))
+    )
+    pre = with_text.join(ex_tok, "existing_id").join(new_tok, "new_id")
+    inter = F.size(F.array_intersect("_ta", "_tb")).cast("double")
+    union = F.greatest(F.size(F.array_union("_ta", "_tb")), F.lit(1)).cast("double")
+    sim = inter / union
+    keep = sim >= F.lit(0.5)
+    if detect_generalizes:
+        subset = (
+            (F.size("_tb") > 0)
+            & (inter == F.size("_tb").cast("double"))
+            & (F.size("_ta") > F.size("_tb"))
+        )
+        keep = keep | subset
+    return pre.filter(keep).drop("_ta", "_tb")
+
+
 VECTOR_AUTO_MERGE = 0.95   # LlmPropositionReviser.kt:306-319
 VECTOR_CANDIDATE_FLOOR = 0.5  # :320-339 (LSH topK candidates >= 0.5 go to the LLM)
 VECTOR_TOP_K = 5
@@ -563,11 +635,14 @@ def revise_batch(
     # the shorter sentence is just a terser repeat that should REINFORCE).
     # See tests/test_revision.py::test_generalizes_default_on_golden_batch.
     if classifier is None:
-        if detect_generalizes:
-            def classifier(p):  # noqa: E731 - tiny wrapper, keeps the seam shape
-                return classify_pairs_udf(p, detect_generalizes=True)
-        else:
-            classifier = classify_pairs_udf
+        # Default deterministic classifier: its consumed labels all imply
+        # token Jaccard >= 0.5 (or a strict subset with detect_generalizes),
+        # so the JVM-side prefilter can drop guaranteed-ignored pairs before
+        # the Arrow seam without changing any surviving value.
+        _dg = detect_generalizes
+
+        def classifier(p):  # noqa: E731 - tiny wrapper, keeps the seam shape
+            return classify_pairs_udf(_seam_prefilter(p, _dg), detect_generalizes=_dg)
     if use_vector_fast_path:
         auto, to_classify = vector_fast_path(with_text)
         classified = classifier(to_classify).unionByName(

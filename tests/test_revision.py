@@ -474,3 +474,92 @@ def test_generalizes_default_on_golden_batch(spark):
         existing, incoming, mentions_existing=m_e, mentions_incoming=m_i,
     ).collect()}
     assert all(r["revision_outcome"] != "GENERALIZED" for r in off.values())
+
+
+def test_seam_prefilter_only_drops_ignored_pairs(spark):
+    """The JVM seam prefilter may only drop pairs the default classifier
+    labels UNRELATED (which revise ignores); every kept pair's label and
+    similarity are still produced by the unchanged seam. Checked over
+    punctuation, negation, subset, multi-space and digit shapes."""
+    from pyspark.sql import functions as F
+
+    from dice_spark.operators.revision import _seam_prefilter, classify_pairs_udf
+
+    texts = [
+        "Alice Nguyen works with Bob Smith.",
+        "alice nguyen works with bob smith",
+        "Alice Nguyen works with Bob Smith!!!",
+        "Alice Nguyen never works with Bob Smith.",
+        "Alice Nguyen works with Carol Jones.",
+        "Bob Smith mentors Carol.",
+        "Completely different words entirely.",
+        "Alice works.",
+        "Alice   Nguyen\tworks with  Bob Smith.",
+        "Alice Nguyen works with Bob Smith and also Carol Jones today.",
+        "a1 b2 c3.",
+        "a1 b2.",
+        "",
+        "   ",
+        "...",
+    ]
+    rows = [
+        (f"e{i}", f"n{j}", a, b)
+        for i, a in enumerate(texts)
+        for j, b in enumerate(texts)
+    ]
+    pairs = spark.createDataFrame(
+        rows, "existing_id string, new_id string, existing_text string, new_text string"
+    )
+    for dg in (False, True):
+        labels = {
+            (r["existing_id"], r["new_id"]): r["relation"]
+            for r in classify_pairs_udf(pairs, detect_generalizes=dg).collect()
+        }
+        kept = {
+            (r["existing_id"], r["new_id"])
+            for r in _seam_prefilter(pairs, dg).select("existing_id", "new_id").collect()
+        }
+        for key, rel in labels.items():
+            if key not in kept:
+                assert rel == "UNRELATED", (key, rel, dg)
+
+
+def test_revise_batch_identical_with_and_without_prefilter(spark):
+    """revise_batch with the default (prefiltered) classifier must produce
+    exactly the rows of the raw seam over all pairs."""
+    from pyspark.sql import functions as F
+
+    from dice_spark.operators.revision import classify_pairs_udf, revise_batch
+
+    def props(rows):
+        return spark.createDataFrame(
+            [
+                (pid, "ctx", t, 0.8, 0.1, False, "ACTIVE", 0, ["g"], s, o)
+                for pid, t, s, o in rows
+            ],
+            "prop_id string, context_id string, text string, confidence double, "
+            "decay double, pinned boolean, status string, reinforce_count int, "
+            "grounding array<string>, subj_span string, obj_span string",
+        )
+
+    existing = props(
+        [
+            ("e1", "Alice works with Bob.", "Alice", "Bob"),
+            ("e2", "Alice never works with Carol.", "Alice", "Carol"),
+            ("e3", "Bob mentors Dana quite often these days.", "Bob", "Dana"),
+            ("e4", "Carol leads Project Apollo.", "Carol", "Project Apollo"),
+        ]
+    )
+    incoming = props(
+        [
+            ("n1", "Alice works with Bob!", "Alice", "Bob"),
+            ("n2", "Alice works with Carol.", "Alice", "Carol"),
+            ("n3", "Bob mentors Dana.", "Bob", "Dana"),
+            ("n4", "Dana supports Project Borealis.", "Dana", "Project Borealis"),
+        ]
+    )
+    got = sorted(map(tuple, revise_batch(existing, incoming).collect()))
+    want = sorted(
+        map(tuple, revise_batch(existing, incoming, classifier=classify_pairs_udf).collect())
+    )
+    assert got == want
