@@ -20,10 +20,47 @@ from pyspark.sql import functions as F
 
 MAX_DEPTH_DEFAULT = 5
 
+# Symmetric-edge ceiling for the driver BFS fast path (overridable via
+# $DICE_BFS_DRIVER_MAX_EDGES; 0 disables). The distributed frontier loop
+# costs ~3 scheduler round-trips per depth; below the ceiling the whole
+# adjacency fits comfortably on the driver and the BFS is a dict walk with
+# the identical min-predecessor rule. Above it the join loop runs unchanged.
+DRIVER_BFS_MAX_EDGES = 1_000_000
+
 
 def _undirected(edges: DataFrame) -> DataFrame:
     e = edges.select(F.col("source_id").alias("src"), F.col("target_id").alias("dst"))
     return e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+
+
+def _driver_bfs_max_edges() -> int:
+    import os
+
+    return int(os.environ.get("DICE_BFS_DRIVER_MAX_EDGES", DRIVER_BFS_MAX_EDGES))
+
+
+def _driver_bfs(adj: dict, start_id: str, max_depth: int) -> list[tuple]:
+    """Level-synchronous BFS over a collected adjacency map. Exactly the
+    distributed rule: per depth, an undiscovered neighbor's predecessor is
+    the MIN frontier node reaching it. Returns (entity_id, distance, pred)
+    rows including the start row (distance 0, pred None)."""
+    visited = {start_id: (0, None)}
+    frontier = [start_id]
+    for d in range(1, max_depth + 1):
+        nxt: dict = {}
+        for src in frontier:
+            for dst in adj.get(src, ()):
+                if dst in visited:
+                    continue
+                prev = nxt.get(dst)
+                if prev is None or src < prev:
+                    nxt[dst] = src
+        if not nxt:
+            break
+        for dst, pred in nxt.items():
+            visited[dst] = (d, pred)
+        frontier = list(nxt)
+    return [(node, d, p) for node, (d, p) in visited.items()]
 
 
 def prop_edges(props: DataFrame) -> DataFrame:
@@ -74,7 +111,22 @@ def neighborhood(
         # by any floor), so map 0 to UNKNOWN_ORDINAL instead of -1.
         tier_ord = F.when(pos == 0, F.lit(UNKNOWN_ORDINAL)).otherwise(pos - 1)
         edges = edges.filter((tier_ord <= floor_ord) & (tier_ord < UNKNOWN_ORDINAL))
-    sym = _undirected(edges).cache()
+    sym = _undirected(edges).localCheckpoint(eager=False)
+    n_sym = sym.count()
+    if n_sym <= _driver_bfs_max_edges():
+        # Scale-adaptive: the symmetric edge list is small enough to walk on
+        # the driver (one collect of the already-materialized checkpoint vs
+        # ~3 scheduler round-trips per BFS depth). Identical rows to the
+        # distributed loop — pinned by tests/test_graphquery_driver.py.
+        adj: dict = {}
+        for r in sym.collect():
+            adj.setdefault(r[0], []).append(r[1])
+        rows = _driver_bfs(adj, start_id, max_depth)
+        out = spark.createDataFrame(
+            rows, "entity_id string, distance int, pred string"
+        )
+        return out.filter(F.col("distance") > 0)
+    sym = sym.cache()
     visited = spark.createDataFrame(
         [(start_id, 0, None)], "entity_id string, distance int, pred string"
     )
@@ -107,7 +159,25 @@ def path_between(edges: DataFrame, from_id: str, to_id: str, max_depth: int = MA
     replacing the reference's iteration-order dependence with a stable rule.
     """
     spark = edges.sparkSession
-    sym = _undirected(edges).cache()
+    sym = _undirected(edges).localCheckpoint(eager=False)
+    n_sym = sym.count()
+    if n_sym <= _driver_bfs_max_edges():
+        # Same scale-adaptive fast path as neighborhood(); the backtrack then
+        # walks the in-memory predecessor map instead of per-step filters.
+        adj: dict = {}
+        for r in sym.collect():
+            adj.setdefault(r[0], []).append(r[1])
+        pred_of = {n: p for n, _d, p in _driver_bfs(adj, from_id, max_depth)}
+        if to_id not in pred_of and from_id != to_id:
+            return None
+        path, cur = [], to_id
+        while cur is not None:
+            if cur not in pred_of:
+                return None
+            path.append(cur)
+            cur = pred_of[cur]
+        return list(reversed(path))
+    sym = sym.cache()
     visited = spark.createDataFrame(
         [(from_id, 0, None)], "entity_id string, distance int, pred string"
     )
