@@ -437,10 +437,17 @@ def embedding_near_dups(
         blk = hyperplane_bucket(F.col(vec_col), hyperplane_planes(dim, n_planes, seed))
     else:
         blk = F.col(block_col)
-    e = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"),
-                          blk.alias("blk"))
+    # Norms are hoisted to the row side (N rows) so each PAIR pays one
+    # interpreted-HOF fold (the dot) instead of three; dot/(na*nb) is
+    # bit-identical to cosine_expr (same folds, same grouping — see
+    # dot_expr's contract note).
+    e = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        blk.alias("blk"),
+    ).withColumn("_nrm", norm_expr(F.col("vec")))
     a, b = e.alias("a"), e.alias("b")
-    sim = cosine_expr(F.col("a.vec"), F.col("b.vec"))
+    sim = dot_expr(F.col("a.vec"), F.col("b.vec")) / (F.col("a._nrm") * F.col("b._nrm"))
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.vid") < F.col("b.vid")))
         .select(

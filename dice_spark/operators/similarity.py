@@ -32,9 +32,17 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, vec_id, cosine, rank)."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec"))
-    sim = cosine_expr(F.col("qvec"), F.col("cvec"))
+    from dice_spark.operators.dedup import dot_expr, norm_expr
+
+    # Norms hoisted to the row side: one interpreted-HOF fold per PAIR (the
+    # dot) instead of three — bit-identical to cosine_expr (same folds).
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).withColumn("_qn", norm_expr(F.col("qvec")))
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")
+    ).withColumn("_cn", norm_expr(F.col("cvec")))
+    sim = dot_expr(F.col("qvec"), F.col("cvec")) / (F.col("_qn") * F.col("_cn"))
     scored = q.join(c, F.col("query_id") != F.col("vec_id")).select(
         "query_id", "vec_id", F.round(sim, 6).alias("cosine")
     )
@@ -120,7 +128,12 @@ def ivf_topk(
         "probe_cells",
         F.slice(F.reverse(F.array_sort(F.array(*cells))), 1, n_probe),
     ).select("query_id", "qvec", F.explode("probe_cells.cell").alias("cell"))
-    sim = cosine_expr(F.col("qvec"), F.col("cvec"))
+    from dice_spark.operators.dedup import dot_expr, norm_expr
+
+    # norms hoisted to the row side — bit-identical to cosine_expr
+    probe = probe.withColumn("_qn", norm_expr(F.col("qvec")))
+    c = c.withColumn("_cn", norm_expr(F.col("cvec")))
+    sim = dot_expr(F.col("qvec"), F.col("cvec")) / (F.col("_qn") * F.col("_cn"))
     scored = probe.join(c, "cell").filter(F.col("query_id") != F.col("vec_id")).select(
         "query_id", "vec_id", F.round(sim, 6).alias("cosine")
     )
@@ -157,7 +170,12 @@ def lsh_bucketed_topk(
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cvec")).withColumn(
         "bucket", hyperplane_bucket(F.col("cvec"), planes)
     )
-    sim = cosine_expr(F.col("qvec"), F.col("cvec"))
+    from dice_spark.operators.dedup import dot_expr, norm_expr
+
+    # norms hoisted to the row side — bit-identical to cosine_expr
+    q = q.withColumn("_qn", norm_expr(F.col("qvec")))
+    c = c.withColumn("_cn", norm_expr(F.col("cvec")))
+    sim = dot_expr(F.col("qvec"), F.col("cvec")) / (F.col("_qn") * F.col("_cn"))
     scored = q.join(c, "bucket").filter(F.col("query_id") != F.col("vec_id")).select(
         "query_id", "vec_id", F.round(sim, 6).alias("cosine")
     )
