@@ -1362,11 +1362,33 @@ def q_oracle_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dice_spark.operators.oracle_query import oracle_ask
     from dice_spark.synth import FIRST_NAMES, LAST_NAMES, RELATIONS
 
+    # ONE extraction + canonicalization serves entities AND the classified
+    # store (the previous _classified(...) call re-derived its own triples
+    # and mapping — a second full pipeline per bench run, value-identical
+    # but twice the work).
     triples = _triples(spark, sf_dir).localCheckpoint(eager=False)
-    c = _classified(spark, sf_dir).localCheckpoint(eager=False)
-    edges = project_edges(c).localCheckpoint(eager=False)
-    entities, _ = canonicalize_mentions(_mentions(triples), CTX)
+    props = triples_to_propositions(triples, CTX)
+    entities, mapping = canonicalize_mentions(_mentions(triples), CTX)
     entities = entities.localCheckpoint(eager=False)
+    subj_map = mapping.select(
+        F.col("norm_key").alias("_sk"), F.col("type_key").alias("_st"),
+        F.col("resolved_id").alias("subj_id"),
+    )
+    obj_map = mapping.select(
+        F.col("norm_key").alias("_ok"), F.col("type_key").alias("_ot"),
+        F.col("resolved_id").alias("obj_id"),
+    )
+    props = (
+        props.withColumn("_sk", norm_key("subj_span"))
+        .withColumn("_st", F.lower("subj_type"))
+        .withColumn("_ok", norm_key("obj_span"))
+        .withColumn("_ot", F.lower("obj_type"))
+        .join(subj_map, ["_sk", "_st"], "left")
+        .join(obj_map, ["_ok", "_ot"], "left")
+        .drop("_sk", "_st", "_ok", "_ot")
+    )
+    c = classify_projection(props, relations_df(spark)).localCheckpoint(eager=False)
+    edges = project_edges(c).localCheckpoint(eager=False)
 
     relations = [r[0] for r in RELATIONS] + ["is allergic to"]
     entity_names = [f"{f} {l}" for f in FIRST_NAMES for l in LAST_NAMES]

@@ -618,6 +618,68 @@ def revise_batch(
         incoming = with_additional_grounding(incoming, additional_grounding)
     mentions_existing = mentions_existing if mentions_existing is not None else prop_mentions(existing)
     mentions_incoming = mentions_incoming if mentions_incoming is not None else prop_mentions(incoming)
+
+    if classifier is None and not use_vector_fast_path:
+        # Default-classifier fast shape: enrich the MENTION sides with text +
+        # token set (proposition cardinality — the join to the mention
+        # relation is the projection barrier), generate both overlap joins,
+        # and apply the seam prefilter INLINE on the join output stream —
+        # before the pair-level distinct or any other exchange ever sees the
+        # raw pair volume. Semantically identical to
+        # candidate_pairs_by_overlap + text joins + prefilter (same keep
+        # rule, same dedup key: a pair's texts are functionally determined
+        # by its ids), but pair-level work collapses from four 1.7M-row
+        # joins + a 1.7M-row distinct to one streamed filter (~0.3M rows
+        # survive at sf0.1).
+        ex_side = existing.select(
+            F.col("prop_id").alias("existing_id"),
+            F.col("text").alias("existing_text"),
+            canon_token_set("text").alias("_ta"),
+        )
+        inc_side = incoming.select(
+            F.col("prop_id").alias("new_id"),
+            F.col("text").alias("new_text"),
+            canon_token_set("text").alias("_tb"),
+        )
+        a = mentions_existing.select(
+            F.col("prop_id").alias("existing_id"),
+            F.lower("span").alias("ka"),
+            F.col("resolved_id").alias("rida"),
+        ).join(ex_side, "existing_id")
+        b = mentions_incoming.select(
+            F.col("prop_id").alias("new_id"),
+            F.lower("span").alias("kb"),
+            F.col("resolved_id").alias("ridb"),
+        ).join(inc_side, "new_id")
+        by_entity = a.filter(F.col("rida").isNotNull()).join(
+            b.filter(F.col("ridb").isNotNull()), F.col("rida") == F.col("ridb")
+        )
+        by_span = a.join(b, F.col("ka") == F.col("kb"))
+        cols = ["existing_id", "new_id", "existing_text", "new_text", "_ta", "_tb"]
+        raw = by_entity.select(*cols).unionByName(by_span.select(*cols))
+        inter = F.size(F.array_intersect("_ta", "_tb")).cast("double")
+        union = F.greatest(F.size(F.array_union("_ta", "_tb")), F.lit(1)).cast("double")
+        keep = (inter / union) >= F.lit(0.5)
+        if detect_generalizes:
+            keep = keep | (
+                (F.size("_tb") > 0)
+                & (inter == F.size("_tb").cast("double"))
+                & (F.size("_ta") > F.size("_tb"))
+            )
+        pre = (
+            raw.filter(keep)
+            .select("existing_id", "new_id", "existing_text", "new_text")
+            .distinct()
+        )
+        classified = classify_pairs_udf(pre, detect_generalizes=detect_generalizes)
+        return revise(
+            existing,
+            incoming,
+            classified,
+            temporal_conflicts=temporal_conflicts,
+            evolving_predicates=evolving_predicates,
+        )
+
     pairs = candidate_pairs_by_overlap(mentions_existing, mentions_incoming)
     with_text = pairs.join(
         existing.select(F.col("prop_id").alias("existing_id"), F.col("text").alias("existing_text")),
