@@ -85,12 +85,16 @@ DICE_RULES: tuple[Rule, ...] = (
 )
 
 
-def _eval_rule(total: DataFrame, rule: Rule) -> DataFrame:
+def _eval_rule(total: DataFrame, rule: Rule, delta: DataFrame | None = None, delta_pos: int | None = None) -> DataFrame:
     """One immediate-consequence step for one rule: join chain over the
-    facts derived so far, inequality filters, head projection."""
+    facts derived so far, inequality filters, head projection.
+
+    ``delta``/``delta_pos``: semi-naive restriction — atom ``delta_pos``
+    reads the last round's new tuples instead of the full closure."""
     joined: DataFrame | None = None
     for i, atom in enumerate(rule.body):
-        rel = total.filter(F.col("predicate") == atom.predicate)
+        source = delta if (delta is not None and i == delta_pos) else total
+        rel = source.filter(F.col("predicate") == atom.predicate)
         a, b = atom.vars
         if a == b:  # p(X, X): filter, bind the variable once
             rel = rel.filter(F.col("x") == F.col("y")).select(
@@ -138,29 +142,153 @@ def _eval_rule(total: DataFrame, rule: Rule) -> DataFrame:
     ).distinct()
 
 
+# Fact-count ceiling for the driver fixpoint fast path (overridable via
+# $DICE_DATALOG_DRIVER_MAX_FACTS; 0 disables). Mirrors the CC/BFS pattern:
+# below the ceiling the whole fixpoint is dict joins on the driver (one
+# collect, zero per-round scheduler cost); above it the distributed
+# semi-naive loop runs.
+DRIVER_DATALOG_MAX_FACTS = 1_000_000
+
+
+def _driver_fixpoint(
+    rows: list[tuple], rules: tuple[Rule, ...], max_iter: int
+) -> set[tuple]:
+    """Semi-naive fixpoint over collected (predicate, x, y) tuples. Same
+    tuple set as the distributed loop (set semantics, no ordering); same
+    max_iter contract."""
+    total: set[tuple] = set(rows)
+
+    def eval_rule(rule: Rule, delta_pred: dict | None, pos: int | None, by_pred: dict):
+        bindings: list[dict] | None = None
+        for i, atom in enumerate(rule.body):
+            src = delta_pred if (delta_pred is not None and i == pos) else by_pred
+            tuples = src.get(atom.predicate, ())
+            a, b = atom.vars
+            if bindings is None:
+                if a == b:
+                    bindings = [{a: x} for x, y in tuples if x == y]
+                else:
+                    bindings = [{a: x, b: y} for x, y in tuples]
+                continue
+            out = []
+            for bind in bindings:
+                for x, y in tuples:
+                    if a == b and x != y:
+                        continue
+                    if a in bind and bind[a] != x:
+                        continue
+                    if b in bind and bind[b] != y:
+                        continue
+                    nb = dict(bind)
+                    nb[a] = x
+                    nb[b] = y
+                    out.append(nb)
+            bindings = out
+        hx, hy = rule.head_vars
+        res = set()
+        for bind in bindings or ():
+            if any(bind[a] == bind[b] for a, b in rule.not_equal):
+                continue
+            res.add((rule.head, bind[hx], bind[hy]))
+        return res
+
+    def index(tuples) -> dict:
+        by: dict = {}
+        for p, x, y in tuples:
+            by.setdefault(p, []).append((x, y))
+        return by
+
+    by_total = index(total)
+    delta = total
+    for rnd in range(max_iter):
+        by_delta = index(delta)
+        derived: set[tuple] = set()
+        for rule in rules:
+            if rnd == 0:
+                derived |= eval_rule(rule, None, None, by_total)
+            else:
+                for pos in range(len(rule.body)):
+                    derived |= eval_rule(rule, by_delta, pos, by_total)
+        new = derived - total
+        if not new:
+            return total
+        total |= new
+        for p, x, y in new:
+            by_total.setdefault(p, []).append((x, y))
+        delta = new
+    raise RuntimeError(f"rule fixpoint did not converge in {max_iter} rounds")
+
+
 def apply_rules(
     facts: DataFrame,
     rules: tuple[Rule, ...] = DICE_RULES,
     max_iter: int = 25,
+    driver_max_facts: int | None = None,
 ) -> DataFrame:
     """Fixpoint over ``rules`` starting from binary ``facts``
     (predicate, x, y). Returns base + derived facts, deduplicated.
+
+    Evaluation is SEMI-NAIVE (the standard delta rule): round 1 applies every
+    rule to the base facts; each later round joins only the previous round's
+    new tuples (once per body-atom position) against the closure, so per-
+    round work is O(|delta|) instead of re-deriving the entire closure —
+    the difference between O(paths) and O(depth * paths) total work on deep
+    chains. The anti-join dedup makes the positional union exact (any tuple
+    first derivable in round k uses at least one round-(k-1) tuple).
+
+    Scale-adaptive: at or below ``driver_max_facts`` base facts (default
+    DRIVER_DATALOG_MAX_FACTS, env DICE_DATALOG_DRIVER_MAX_FACTS) the whole
+    fixpoint runs as dict joins on the driver — identical tuple set, none of
+    the per-round scheduler cost (parity pinned in tests/test_prolog_rules).
 
     Raises RuntimeError if max_iter rounds pass without convergence —
     a silently truncated closure would claim a chain shorter than it is.
     (Rounds needed ~ longest derivation; UNION dedup bounds cyclic inputs.)
     """
-    total = facts.select("predicate", "x", "y").distinct().localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    # Validate rule shapes up front so both execution paths fail identically
+    # and loudly (an unbound head variable can never produce a projection).
+    for rule in rules:
+        bound = {v for atom in rule.body for v in atom.vars}
+        for v in rule.head_vars:
+            if v not in bound:
+                raise ValueError(
+                    f"head variable {v} not bound in body of {rule.head}"
+                )
+    if driver_max_facts is None:
+        import os
+
+        driver_max_facts = int(
+            os.environ.get("DICE_DATALOG_DRIVER_MAX_FACTS", DRIVER_DATALOG_MAX_FACTS)
+        )
+    base = facts.select("predicate", "x", "y").distinct().localCheckpoint(eager=True)
+    n_base = base.count()
+    if n_base <= driver_max_facts:
+        rows = [(r[0], r[1], r[2]) for r in base.collect()]
+        total = _driver_fixpoint(rows, rules, max_iter)
+        spark = facts.sparkSession
+        return spark.createDataFrame(
+            sorted(total), "predicate string, x string, y string"
+        )
+    total = base
+    delta = base
+    for rnd in range(max_iter):
         derived = None
         for rule in rules:
-            step = _eval_rule(total, rule)
-            derived = step if derived is None else derived.unionByName(step)
+            if rnd == 0:
+                steps = [_eval_rule(total, rule)]
+            else:
+                steps = [
+                    _eval_rule(total, rule, delta=delta, delta_pos=pos)
+                    for pos in range(len(rule.body))
+                ]
+            for step in steps:
+                derived = step if derived is None else derived.unionByName(step)
         new = derived.distinct().join(total, ["predicate", "x", "y"], "left_anti")
         new = new.localCheckpoint(eager=True)
         if new.isEmpty():
             return total
         total = total.unionByName(new).localCheckpoint(eager=True)
+        delta = new
     raise RuntimeError(f"rule fixpoint did not converge in {max_iter} rounds")
 
 
