@@ -525,6 +525,8 @@ def q_prop_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(subj_map, ["_sk", "_st"], "left")
         .join(obj_map, ["_ok", "_ot"], "left")
         .drop("_sk", "_st", "_ok", "_ot")
+        # read by the times join, both prop_entities unions and the query
+        .localCheckpoint(eager=False)
     )
     times = (
         triples.join(tr.select("conv_id", "turn_idx", "ts"), ["conv_id", "turn_idx"])
@@ -717,6 +719,9 @@ def q_consolidation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(subj_map, ["_sk", "_st"], "left")
         .join(obj_map, ["_ok", "_ot"], "left")
         .drop("_sk", "_st", "_ok", "_ot")
+        # the mention relation reads this twice and the abstraction pass's
+        # level/eligibility/superseded/unchanged branches several more times
+        .localCheckpoint(eager=False)
     )
     prop_entities = (
         props.select("prop_id", F.col("subj_id").alias("resolved_id"))
@@ -1062,6 +1067,8 @@ def q_edge_descriptions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(subj_map, ["_sk", "_st"], "left")
         .join(obj_map, ["_ok", "_ot"], "left")
         .drop("_sk", "_st", "_ok", "_ot")
+        # read by the edge projection AND the synthesis request join
+        .localCheckpoint(eager=False)
     )
     edges = project_edges(classify_projection(props, relations_df(spark)))
     out = synthesize_descriptions(synthesis_requests(edges, props, entities))

@@ -144,6 +144,10 @@ def grounding_edges(props: DataFrame, nodes: DataFrame, node_id_col: str = "node
     g = (
         props.select("prop_id", F.explode(F.array_distinct("grounding")).alias("gid"))
         .filter(F.length("gid") > 0)
+        # read by the exact join, the missed/unresolved anti-joins and the
+        # report counts — one lazy checkpoint instead of re-running the
+        # upstream proposition pipeline per consumer
+        .localCheckpoint(eager=False)
     )
     reg = nodes.select(F.col(node_id_col).alias("target_id"))
     exact = g.join(F.broadcast(reg), g.gid == reg.target_id)
