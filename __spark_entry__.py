@@ -1612,7 +1612,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry order is the driver's correctness-record order and the driver
+    # records the FIRST 50 entries. The 8 rows that had never (or not in r05)
+    # had a driver record — led by vector_linking — lead the dict so CORRECTNESS_r06
+    # gives them green rows; 8 rows green in r04+r05 rotate to the tail.
+    # Query bodies and oracle SQL are unchanged — this is record coverage only.
     return {
+        "vector_linking": q_vector_linking,
+        "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ingestion_outcomes": q_ingestion_outcomes,
+        "doc_embedding_dups": q_doc_embedding_dups,
+        "media_features": q_media_features,
+        "frame_plan": q_frame_plan,
         "turn_assembly": q_turn_assembly,
         "extraction": q_extraction,
         "extraction_perspective": q_extraction_perspective,
@@ -1663,14 +1676,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_dups": q_doc_minhash_dups,
         "doc_dup_clusters": q_doc_dup_clusters,
         "doc_simhash_dups": q_doc_simhash_dups,
-        "doc_embedding_dups": q_doc_embedding_dups,
-        "media_features": q_media_features,
-        "frame_plan": q_frame_plan,
-        "ingestion_outcomes": q_ingestion_outcomes,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "vector_linking": q_vector_linking,
-        "ann_topk": q_ann_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 
