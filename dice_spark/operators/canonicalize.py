@@ -366,16 +366,12 @@ def canonicalize_mentions(
     nodes = mention_nodes(
         mentions, context_id, span_col, type_col, pre_counted=pre_counted
     ).localCheckpoint(eager=True)
-    # Size the CC loop's shuffle width to the actual vocabulary (the count is
-    # one cheap action on the eager checkpoint): ~100k nodes per partition.
-    # A small corpus runs each of the ~diameter iterations as a couple of
-    # tasks instead of a full-width shuffle (pure fixed-cost reduction); a
-    # 10^9-entity vocabulary still gets the session's full width.
-    session_width = int(
-        nodes.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    npart = max(1, min(session_width, nodes.count() // 100_000 + 1))
-    comps = connected_components(nodes, match_edges(nodes), num_partitions=npart)
+    # No width-probe action here: vocabulary-sized graphs take the driver
+    # union-find inside connected_components (where the edge count is already
+    # known), and above that ceiling AQE coalesces the loop's shuffles — the
+    # old nodes.count() npart probe was one serial scheduler round-trip per
+    # canonicalization for information the CC gate now owns.
+    comps = connected_components(nodes, match_edges(nodes))
     entities = canonical_entities(nodes, comps)
     mapping = nodes.join(comps, "node_id").select(
         "type_key", "norm_key", F.col("component").alias("resolved_id")

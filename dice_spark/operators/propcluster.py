@@ -228,11 +228,9 @@ def duplicate_collector(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    width = int(
-        props.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    npart = max(1, min(width, members.count() // 100_000 + 1))
-    comps = connected_components(members, edges, node_col="pid", num_partitions=npart)
+    # no width probe: the CC gate sizes itself (driver union-find below the
+    # edge ceiling, AQE-coalesced distributed loop above)
+    comps = connected_components(members, edges, node_col="pid")
     scored = (
         props.select(
             F.col(id_col).alias("pid"),
