@@ -138,17 +138,32 @@ def process_chunks(
     # measured), because no single consumer ever materializes both columns
     # otherwise. The two branches re-run the (cheap, shuffle-parallel)
     # assembly independently, exactly the column-pruned round-1 plan shape.
-    chunk_meta = _materialize(chunks.select("chunk_id", "content_hash"), "chunk_meta")
     if turns is None:
         turns = split_turns(chunks)
 
     if use_udf_extractor:
-        triples = extract_triples_udf(turns, conf_overrides, perspective=perspective)
+        raw_triples = extract_triples_udf(turns, conf_overrides, perspective=perspective)
     else:
-        triples = extract_triples(turns, relations, conf_overrides, perspective=perspective)
-    # Extraction feeds both the mention/canonicalization branch and the
-    # proposition branch — materialize once.
-    triples = _materialize(triples, "triples")
+        raw_triples = extract_triples(turns, relations, conf_overrides, perspective=perspective)
+    chunk_meta_src = chunks.select("chunk_id", "content_hash")
+    if spill_dir is not None:
+        # The two spill writes are INDEPENDENT jobs (the meta branch renders
+        # chunk text for its hash; the extraction branch never reads it), so
+        # submit them from two driver threads (guide §2.6): the scheduler
+        # back-fills one job's straggler tail and serial segments (planning,
+        # parquet commit) with the other's tasks. Actions are only
+        # sequential because driver code calls them sequentially.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_meta = pool.submit(_materialize, chunk_meta_src, "chunk_meta")
+            f_triples = pool.submit(_materialize, raw_triples, "triples")
+            chunk_meta, triples = f_meta.result(), f_triples.result()
+    else:
+        chunk_meta = _materialize(chunk_meta_src, "chunk_meta")
+        # Extraction feeds both the mention/canonicalization branch and the
+        # proposition branch — materialize once.
+        triples = _materialize(raw_triples, "triples")
 
     mentions = triples.select(
         F.col("subj_span").alias("span"), F.col("subj_type").alias("entity_type")
